@@ -1,0 +1,22 @@
+"""pitfeat — a from-scratch PySpark-native point-in-time feature-engineering engine.
+
+Recasts the capabilities of the reference (aakashrav/MolecularFeatureEngineering:
+per-row feature extraction, fixed-width feature vectors / DATABLOCK layout,
+min-max normalization with degenerate-column pruning, clustering prep) as a
+temporal feature factory over tables of multi-turn conversation/agent
+transcripts ``(conv_id, turn_idx, role, text, tool, ts)``.
+
+Spark-first design: every operator is expressed with the DataFrame API so
+Catalyst handles pushdown/pruning/join selection; Python appears only inside
+vectorized Arrow/pandas kernels (as-of binary search, DATABLOCK re-blocking).
+
+See SURVEY.md for the blueprint and BASELINE.md for the performance contract.
+"""
+
+from pitfeat.config import PitfeatConfig
+from pitfeat.session import get_spark
+from pitfeat.pipeline import Pipeline
+
+__version__ = "0.1.0"
+
+__all__ = ["PitfeatConfig", "get_spark", "Pipeline", "__version__"]

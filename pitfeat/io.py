@@ -1,0 +1,52 @@
+"""Sources / sinks (SURVEY.md §2.1 S1/S2/S6).
+
+Iceberg is treated as a pluggable catalog layer with a Parquet fallback: this
+sandbox has no Iceberg runtime jar (verified in SURVEY.md §0), so
+``table_format="iceberg"`` is honored only when a Spark catalog is configured;
+all local tests/benches use Parquet. On a real cluster the same call sites
+read/write Iceberg tables and get hidden-partitioning + snapshot isolation for
+free — nothing else in the engine changes, because every operator consumes
+plain DataFrames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pitfeat.schema import TRANSCRIPTS_SCHEMA, assert_schema, snapshots_schema
+
+
+def _read(spark: SparkSession, path_or_table: str, fmt: str) -> DataFrame:
+    if fmt == "iceberg":
+        return spark.read.format("iceberg").load(path_or_table)
+    if fmt == "parquet":
+        return spark.read.parquet(path_or_table)
+    raise ValueError(f"unknown table format {fmt!r}")
+
+
+def read_transcripts(spark: SparkSession, path_or_table: str, fmt: str = "parquet") -> DataFrame:
+    df = _read(spark, path_or_table, fmt)
+    assert_schema(df, TRANSCRIPTS_SCHEMA, "transcripts")
+    return df
+
+
+def read_snapshots(
+    spark: SparkSession, path_or_table: str, fmt: str = "parquet", width: int | None = None
+) -> DataFrame:
+    df = _read(spark, path_or_table, fmt)
+    if width is not None:
+        assert_schema(df, snapshots_schema(width), "feature_snapshots")
+    return df
+
+
+def write_features(
+    df: DataFrame, path_or_table: str, fmt: str = "parquet", mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    if fmt == "iceberg":
+        df.writeTo(path_or_table).createOrReplace()
+        return
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path_or_table)

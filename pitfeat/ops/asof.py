@@ -1,0 +1,258 @@
+"""Point-in-time (as-of) join — THE core operator (SURVEY.md §2.3 J1/J2).
+
+Semantics: for each left row, attach the single right row with the greatest
+``right_ts`` such that ``right_ts <= left_ts`` (strict ``<`` when
+``allow_exact=False``). Unmatched left rows keep nulls (left outer). Zero
+temporal leakage by construction: a right row with ``right_ts > left_ts`` can
+never be selected (property-tested in tests/test_asof.py).
+
+Two physical strategies, both vectorized (no per-row Python anywhere):
+
+``cogroup`` (default)
+    ``left.groupBy(key).cogroup(right.groupBy(key)).applyInPandas(kernel)``
+    where the kernel is a numpy binary search (``np.searchsorted``) over the
+    per-key sorted right timestamps. One shuffle per side; each key's data
+    meets in one Python worker. Scaling hazard: a single hot key must fit in
+    one worker's memory — mitigated by ``salt_buckets`` (J2) which replicates
+    the right side xB and splits the left by hash salt, bounding group size.
+
+``merge``
+    The literal "range-partitioned, sort-within-partition as-of merge": both
+    sides are tagged and unioned, ``repartitionByRange(key)`` +
+    ``sortWithinPartitions(key, ts, tag)``, then a streaming ``mapInPandas``
+    forward-fills snapshot values down the sorted stream (pandas groupby-ffill,
+    Cython-vectorized) carrying per-key state across Arrow batches. Memory is
+    bounded by the Arrow batch size — not by key cardinality or key heat — so
+    this is the robust path for pathologically hot keys at 100TB scale.
+
+Tie rule: with ``allow_exact=True`` an equal-timestamp snapshot matches
+(searchsorted ``side='right'``; merge sorts right-before-left at equal ts).
+With ``allow_exact=False`` it does not (``side='left'``; left-before-right).
+
+Oracle parity: semantics match ``pandas.merge_asof(direction='backward',
+allow_exact_matches=..., tolerance=...)`` and DuckDB ``ASOF JOIN`` — both are
+used as test oracles.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _result_schema(left: DataFrame, right: DataFrame, on: str, right_ts: str) -> T.StructType:
+    fields = list(left.schema.fields)
+    taken = {f.name for f in fields}
+    for f in right.schema.fields:
+        if f.name == on:
+            continue
+        if f.name in taken:
+            raise ValueError(
+                f"asof_join: column collision {f.name!r}; rename right-side columns first"
+            )
+        # right-side columns become nullable (unmatched left rows)
+        fields.append(T.StructField(f.name, f.dataType, True))
+    return T.StructType(fields)
+
+
+def _ts_to_i8(s: pd.Series) -> np.ndarray:
+    """Timestamp series -> int64 ns (NaT -> iinfo.min, never matched)."""
+    v = pd.to_datetime(s)
+    try:
+        v = v.dt.tz_localize(None)
+    except TypeError:
+        pass
+    return v.values.astype("datetime64[ns]").view("int64")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "conv_id",
+    left_ts: str = "ts",
+    right_ts: str = "snap_ts",
+    allow_exact: bool = True,
+    tolerance_s: float | None = None,
+    direction: str = "backward",
+    strategy: str = "cogroup",
+    salt_buckets: int = 0,
+) -> DataFrame:
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if strategy == "merge":
+        if direction != "backward":
+            raise ValueError("merge strategy implements backward direction only")
+        return _asof_merge(left, right, on, left_ts, right_ts, allow_exact, tolerance_s)
+    if strategy != "cogroup":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    return _asof_cogroup(
+        left, right, on, left_ts, right_ts, allow_exact, tolerance_s, direction, salt_buckets
+    )
+
+
+# --------------------------------------------------------------------------
+# strategy (a): cogroup + applyInPandas, numpy binary search per key
+# --------------------------------------------------------------------------
+
+
+def _asof_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    allow_exact: bool,
+    tolerance_s: float | None,
+    direction: str,
+    salt_buckets: int,
+) -> DataFrame:
+    out_schema = _result_schema(left, right, on, right_ts)
+    left_cols = [f.name for f in left.schema.fields]
+    right_val_cols = [f.name for f in right.schema.fields if f.name != on]
+    side = "right" if allow_exact else "left"
+    tol_ns = None if tolerance_s is None else int(tolerance_s * 1e9)
+    keys = [on] if salt_buckets <= 0 else [on, "__salt"]
+
+    def kernel(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf[left_cols]
+        n = len(lpdf)
+        if n == 0:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        if len(rpdf) == 0:
+            out = lpdf.copy()
+            for c in right_val_cols:
+                out[c] = pd.NaT if c == right_ts else np.nan
+            return out
+        r = rpdf.sort_values(right_ts, kind="mergesort").reset_index(drop=True)
+        rts = _ts_to_i8(r[right_ts])
+        lts = _ts_to_i8(lpdf[left_ts])
+        if direction == "backward":
+            idx = np.searchsorted(rts, lts, side=side) - 1
+            matched = idx >= 0
+            if tol_ns is not None:
+                matched &= (lts - rts[np.clip(idx, 0, None)]) <= tol_ns
+        else:  # forward: smallest right_ts >= left_ts (or > when not allow_exact)
+            idx = np.searchsorted(rts, lts, side="left" if allow_exact else "right")
+            matched = idx < len(rts)
+            if tol_ns is not None:
+                matched &= (rts[np.clip(idx, None, len(rts) - 1)] - lts) <= tol_ns
+        safe = np.where(matched, np.clip(idx, 0, len(rts) - 1), 0)
+        out = lpdf.reset_index(drop=True)
+        picked = r.iloc[safe].reset_index(drop=True)
+        for c in right_val_cols:
+            col = picked[c].copy()
+            col[~matched] = pd.NaT if str(col.dtype).startswith("datetime") else np.nan
+            out[c] = col
+        return out
+
+    if salt_buckets > 0:
+        b = salt_buckets
+        lft = left.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col(on), F.col(left_ts)), F.lit(b)).cast("int")
+        )
+        rgt = right.withColumn(
+            "__salt", F.explode(F.array(*[F.lit(i) for i in range(b)]))
+        ).withColumn("__salt", F.col("__salt").cast("int"))
+        return (
+            lft.groupBy(*keys)
+            .cogroup(rgt.groupBy(*keys))
+            .applyInPandas(lambda l, r: kernel(l, r), schema=out_schema)
+        )
+    return (
+        left.groupBy(on)
+        .cogroup(right.groupBy(on))
+        .applyInPandas(kernel, schema=out_schema)
+    )
+
+
+# --------------------------------------------------------------------------
+# strategy (b): range-partitioned, sort-within-partition streaming merge
+# --------------------------------------------------------------------------
+
+
+def _asof_merge(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    allow_exact: bool,
+    tolerance_s: float | None,
+) -> DataFrame:
+    out_schema = _result_schema(left, right, on, right_ts)
+    left_cols = [f.name for f in left.schema.fields]
+    right_val_cols = [f.name for f in right.schema.fields if f.name != on]
+    fill_cols = [c for c in right_val_cols]  # includes right_ts itself
+    tol_ns = None if tolerance_s is None else int(tolerance_s * 1e9)
+
+    # tag order at equal ts decides the tie rule: right-before-left => tie matches
+    right_tag, left_tag = (0, 1) if allow_exact else (1, 0)
+
+    typ = {f.name: f.dataType for f in out_schema.fields}
+    pass_left = [c for c in left_cols if c not in (on, left_ts)]
+    lt = left.select(
+        F.col(on),
+        F.col(left_ts).alias("__t"),
+        F.lit(left_tag).alias("__tag"),
+        *[F.col(c) for c in pass_left],
+        *[F.lit(None).cast(typ[c]).alias(c) for c in right_val_cols],
+    )
+    rt = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__t"),
+        F.lit(right_tag).alias("__tag"),
+        *[F.lit(None).cast(typ[c]).alias(c) for c in pass_left],
+        *[F.col(c) for c in right_val_cols],
+    )
+    cols_order = [on, "__t", "__tag"] + pass_left + right_val_cols
+    unioned = lt.select(*cols_order).unionByName(rt.select(*cols_order))
+    staged = unioned.repartitionByRange(F.col(on)).sortWithinPartitions(on, "__t", "__tag")
+
+    out_names = [f.name for f in out_schema.fields]
+
+    def stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: dict = {}  # key -> dict of fill_cols from the key's last snapshot row
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.reset_index(drop=True)
+            is_left = pdf["__tag"].to_numpy() == left_tag
+            # inject carried state: prepend one synthetic snapshot row per
+            # already-seen key appearing in this batch, so ffill continues
+            # across Arrow-batch boundaries within the partition
+            carry = [state[k] for k in pd.unique(pdf[on]) if k in state]
+            if carry:
+                head = pd.DataFrame(carry).astype(pdf[[on] + fill_cols].dtypes.to_dict())
+                work = pd.concat([head[[on] + fill_cols], pdf[[on] + fill_cols]], ignore_index=True)
+                inj = len(head)
+            else:
+                work = pdf[[on] + fill_cols]
+                inj = 0
+            filled = work.groupby(on, sort=False)[fill_cols].ffill().iloc[inj:].reset_index(drop=True)
+            res = pdf.copy()
+            res[fill_cols] = filled
+            # update carried state from the last snapshot row per key (vectorized
+            # tail-per-group; O(distinct keys) dict update, not O(rows))
+            snaps = pdf.loc[~is_left, [on] + fill_cols]
+            if len(snaps):
+                for rec in snaps.groupby(on, sort=False).tail(1).to_dict("records"):
+                    state[rec[on]] = rec
+            res = res.loc[is_left].reset_index(drop=True)
+            if tol_ns is not None and len(res):
+                lts = _ts_to_i8(res["__t"])
+                rts = _ts_to_i8(res[right_ts])
+                stale = (lts - rts) > tol_ns
+                for c in fill_cols:
+                    col = res[c].copy()
+                    col[stale] = pd.NaT if str(col.dtype).startswith("datetime") else np.nan
+                    res[c] = col
+            if len(res):
+                res = res.rename(columns={"__t": left_ts})
+                yield res[out_names]
+
+    return staged.mapInPandas(stream, schema=out_schema)

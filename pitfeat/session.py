@@ -1,0 +1,52 @@
+"""SparkSession factory (SURVEY.md §2.9 K3/K4, hard-part #5).
+
+Sets the configs every pitfeat job depends on:
+- UTC session timezone BEFORE anything touches timestamps (pandas<->Spark tz
+  mismatch is the #1 silent as-of off-by-one source).
+- AQE on (skew-join splitting + partition coalescing).
+- Arrow enabled, batch size aligned with the DATABLOCK row count so the
+  JVM->Python IPC boundary ships blocks the kernels can use as-is.
+
+At cluster scale the same factory applies: these are all cluster-safe configs
+(no local[] assumptions except the explicit ``master`` argument used by tests
+and the two-parallelism scaling bench).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from pitfeat.config import PitfeatConfig
+
+
+def get_spark(
+    app_name: str = "pitfeat",
+    master: str | None = None,
+    cfg: PitfeatConfig | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cfg = cfg or PitfeatConfig()
+    b = SparkSession.builder.appName(app_name)
+    if master:
+        b = b.master(master)
+    conf = {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.shuffle.partitions": str(cfg.shuffle_partitions),
+        "spark.sql.files.maxPartitionBytes": str(cfg.target_partition_bytes),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": str(cfg.rows_per_block),
+        # grouped pandas kernels should not silently reorder batches
+        "spark.sql.execution.pandas.udf.buffer.size": "65536",
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": "8g",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

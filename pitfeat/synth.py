@@ -1,0 +1,133 @@
+"""Deterministic synthetic transcript / snapshot generator (SURVEY.md S7, FIXTURES.md §A).
+
+Everything is expression-based (``xxhash64``/``pmod`` over ``spark.range``) —
+no Python RNG, no driver loops — so identical (seed, params) produce
+byte-identical tables at ANY parallelism. That property is itself tested
+(determinism test #7 in SURVEY.md §5) and is what lets the two-parallelism
+scaling bench compare outputs across local[8]/local[32].
+
+Scale note: generation is a single `spark.range(n_convs)` followed by an
+explode — it parallelizes across executors and never materializes on the
+driver, so the same code generates the 10^12-turn bench input on a cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pitfeat.schema import SNAPSHOT_WIDTH, snapshot_feature_cols
+
+BASE_TS = "2024-01-01 00:00:00"
+SESSION_FORCE_GAP_S = 4000  # > default session threshold, forced every ~20 turns
+
+
+def gen_transcripts(
+    spark: SparkSession,
+    n_convs: int = 100,
+    avg_turns: int = 20,
+    seed: int = 42,
+    skew: str = "uniform",  # "uniform" | "zipf" (one hot conv ~30% of turns)
+) -> DataFrame:
+    """Deterministic transcripts (conv_id, turn_idx, role, text, tool, ts)."""
+    convs = spark.range(n_convs).withColumnRenamed("id", "conv_no")
+    # conv sizes: uniform in [1, 2*avg) via hash; zipf variant gives conv 0 a
+    # hot tail of ~0.43*n_convs*avg extra turns (~30% of the total)
+    n_turns = 1 + F.pmod(F.xxhash64("conv_no", F.lit(seed)), F.lit(2 * avg_turns - 1))
+    if skew == "zipf":
+        hot = int(0.43 * n_convs * avg_turns)
+        n_turns = F.when(F.col("conv_no") == 0, F.lit(hot)).otherwise(n_turns)
+    convs = convs.withColumn("n_turns", n_turns.cast("int"))
+
+    turns = convs.select(
+        F.concat(F.lit("c"), F.col("conv_no")).alias("conv_id"),
+        F.col("conv_no"),
+        F.explode(F.sequence(F.lit(0), F.col("n_turns") - 1)).alias("turn_idx"),
+    ).withColumn("turn_idx", F.col("turn_idx").cast("int"))
+
+    h = F.xxhash64("conv_no", "turn_idx", F.lit(seed))
+    r = F.pmod(h, F.lit(100))
+    role = (
+        F.when(r < 40, F.lit("user"))
+        .when(r < 80, F.lit("assistant"))
+        .otherwise(F.lit("tool"))
+    )
+    tool = F.when(
+        role == "tool",
+        F.element_at(
+            F.array(F.lit("search"), F.lit("exec"), F.lit("browse")),
+            (F.pmod(F.xxhash64("conv_no", "turn_idx", F.lit(seed + 1)), F.lit(3)) + 1).cast("int"),
+        ),
+    ).otherwise(F.lit(""))
+
+    gap_s = 1 + F.pmod(F.xxhash64("conv_no", "turn_idx", F.lit(seed + 2)), F.lit(600))
+    gap_s = F.when(
+        (F.col("turn_idx") > 0) & (F.pmod(F.col("turn_idx"), F.lit(20)) == 0),
+        F.lit(SESSION_FORCE_GAP_S),
+    ).otherwise(gap_s)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum_s = F.sum(gap_s).over(w)
+
+    return turns.select(
+        "conv_id",
+        "turn_idx",
+        role.alias("role"),
+        F.concat_ws(
+            "-", F.lit("t"), "conv_id", "turn_idx", F.hex(F.xxhash64("conv_no", "turn_idx", F.lit(seed + 3)))
+        ).alias("text"),
+        tool.alias("tool"),
+        (F.lit(BASE_TS).cast("timestamp") + F.make_interval(secs=cum_s.cast("double"))).alias("ts"),
+    )
+
+
+def gen_snapshots(
+    transcripts: DataFrame,
+    width: int = SNAPSHOT_WIDTH,
+    seed: int = 42,
+    per_turn_every: int = 5,
+) -> DataFrame:
+    """Deterministic feature snapshots for the as-of right side (FIXTURES.md §A2).
+
+    - ~90% of convs get snapshots (10% excluded -> tests left-join nulls)
+    - snapshot times jittered {-30s, 0, +30s} around sampled turn ts (the 0
+      case exercises the allow_exact tie)
+    - one snapshot AFTER each conv's last turn (must never match: leakage case)
+    - f_13 constant (degenerate: max==min), f_14 all-NULL (degenerate),
+      f_15 constant-within-conv but varying across convs (NOT degenerate)
+    """
+    t = transcripts
+    has_snaps = F.pmod(F.xxhash64("conv_id", F.lit(seed + 10)), F.lit(10)) < 9
+    sampled = t.where(has_snaps & (F.pmod(F.xxhash64("conv_id", "turn_idx", F.lit(seed + 11)), F.lit(per_turn_every)) == 0))
+    jitter = (F.pmod(F.xxhash64("conv_id", "turn_idx", F.lit(seed + 12)), F.lit(3)) - 1) * 30
+    base = sampled.select(
+        "conv_id",
+        (F.col("ts") + F.make_interval(secs=jitter.cast("double"))).alias("snap_ts"),
+    )
+    future = (
+        t.where(has_snaps)
+        .groupBy("conv_id")
+        .agg(F.max("ts").alias("mx"))
+        .select("conv_id", (F.col("mx") + F.make_interval(secs=F.lit(3600.0))).alias("snap_ts"))
+    )
+    snaps = base.unionByName(future).dropDuplicates(["conv_id", "snap_ts"])
+
+    cols = [F.col("conv_id"), F.col("snap_ts")]
+    for i, c in enumerate(snapshot_feature_cols(width)):
+        if i == 13:
+            e = F.lit(3.14)
+        elif i == 14:
+            e = F.lit(None).cast("double")
+        elif i == 15:
+            e = (F.pmod(F.xxhash64("conv_id", F.lit(seed + 20)), F.lit(100)) / 10.0)
+        else:
+            e = (
+                F.pmod(
+                    F.xxhash64("conv_id", F.col("snap_ts").cast("long"), F.lit(seed + 30 + i)),
+                    F.lit(10_000),
+                )
+                / 1000.0
+            )
+        cols.append(e.cast("double").alias(c))
+    return snaps.select(*cols)

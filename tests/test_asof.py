@@ -1,0 +1,103 @@
+"""J1/J2 as-of join vs pandas.merge_asof oracle (SURVEY.md §5 items 1-2)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pitfeat.ops.asof import asof_join
+from pitfeat.schema import snapshot_feature_cols
+from tests.oracle_pandas import asof_oracle
+
+FEATS = snapshot_feature_cols()
+KEYS = ["conv_id", "turn_idx"]
+
+
+def _collect_sorted(df):
+    return df.toPandas().sort_values(KEYS).reset_index(drop=True)
+
+
+def _assert_matches_oracle(spark_out: pd.DataFrame, oracle: pd.DataFrame):
+    assert len(spark_out) == len(oracle)
+    pd.testing.assert_series_equal(
+        spark_out["snap_ts"], oracle["snap_ts"], check_names=False
+    )
+    for c in FEATS:
+        np.testing.assert_allclose(
+            spark_out[c].to_numpy(dtype=float),
+            oracle[c].to_numpy(dtype=float),
+            equal_nan=True,
+            err_msg=c,
+        )
+
+
+@pytest.mark.parametrize("strategy", ["cogroup", "merge"])
+@pytest.mark.parametrize("allow_exact", [True, False])
+def test_asof_matches_merge_asof(
+    transcripts, snapshots, transcripts_pd, snapshots_pd, strategy, allow_exact
+):
+    out = _collect_sorted(
+        asof_join(transcripts, snapshots, allow_exact=allow_exact, strategy=strategy)
+    )
+    oracle = asof_oracle(transcripts_pd, snapshots_pd, allow_exact=allow_exact)
+    _assert_matches_oracle(out, oracle)
+
+
+@pytest.mark.parametrize("strategy", ["cogroup", "merge"])
+def test_asof_tolerance(transcripts, snapshots, transcripts_pd, snapshots_pd, strategy):
+    out = _collect_sorted(
+        asof_join(transcripts, snapshots, tolerance_s=120.0, strategy=strategy)
+    )
+    oracle = asof_oracle(transcripts_pd, snapshots_pd, tolerance_s=120.0)
+    _assert_matches_oracle(out, oracle)
+
+
+def test_asof_salted_equals_unsalted(transcripts, snapshots):
+    base = _collect_sorted(asof_join(transcripts, snapshots))
+    salted = _collect_sorted(asof_join(transcripts, snapshots, salt_buckets=4))
+    pd.testing.assert_frame_equal(base, salted)
+
+
+@pytest.mark.parametrize("strategy", ["cogroup", "merge"])
+def test_zero_temporal_leakage(transcripts, snapshots, strategy):
+    """No output row may carry a snapshot from its future; and deleting the
+    future must not change any feature (SURVEY.md §5 item 2)."""
+    out = asof_join(transcripts, snapshots, strategy=strategy).toPandas()
+    matched = out[out["snap_ts"].notna()]
+    assert (matched["snap_ts"] <= matched["ts"]).all()
+
+    # truncate: drop all snapshots after the global median turn ts; rows at or
+    # before the cutoff must be bit-identical
+    cut = out["ts"].quantile(0.5)
+    trunc = snapshots.where(snapshots.snap_ts <= cut.to_pydatetime().isoformat())
+    import pyspark.sql.functions as F
+
+    trunc = snapshots.filter(F.col("snap_ts") <= F.lit(cut.to_pydatetime()))
+    out2 = asof_join(transcripts, trunc, strategy=strategy).toPandas()
+    a = out[out["ts"] <= cut].sort_values(KEYS).reset_index(drop=True)
+    b = out2[out2["ts"] <= cut].sort_values(KEYS).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_convs_without_snapshots_get_nulls(transcripts, snapshots):
+    out = asof_join(transcripts, snapshots).toPandas()
+    snap_convs = set(snapshots.select("conv_id").distinct().toPandas()["conv_id"])
+    no_snap = out[~out["conv_id"].isin(snap_convs)]
+    assert len(no_snap) > 0, "fixture must include convs with no snapshots"
+    assert no_snap["snap_ts"].isna().all()
+    assert no_snap[FEATS].isna().all().all()
+
+
+def test_left_rows_preserved(transcripts, snapshots):
+    out = asof_join(transcripts, snapshots)
+    assert out.count() == transcripts.count()
+
+
+def test_no_row_python_in_plan(transcripts, snapshots):
+    """Plan-shape invariant (SURVEY.md §4): vectorized nodes only."""
+    for strategy, node in [
+        ("cogroup", "FlatMapCoGroupsInPandas"),
+        ("merge", "MapInPandas"),
+    ]:
+        plan = asof_join(transcripts, snapshots, strategy=strategy)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert node in plan
