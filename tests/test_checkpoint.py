@@ -1,0 +1,55 @@
+"""S3/S4 checkpoint lineage + resume (SURVEY.md §5 item 6)."""
+
+import json
+import os
+
+from pitfeat.checkpoint import checkpoint_valid, resume_or_compute, write_checkpoint
+
+
+def test_checkpoint_roundtrip_and_lineage(spark, transcripts, tmp_path):
+    ck = str(tmp_path / "ck1")
+    lin = write_checkpoint(transcripts, ck, "stage1", "cfg123", inputs=["in:a"])
+    assert lin["total_rows"] == transcripts.count()
+    assert lin["n_partitions"] >= 1
+    assert sum(p["rows"] for p in lin["partitions"]) == lin["total_rows"]
+    assert checkpoint_valid(ck, "cfg123", ["in:a"])
+    assert not checkpoint_valid(ck, "OTHER", ["in:a"])  # config change invalidates
+    assert not checkpoint_valid(ck, "cfg123", ["in:b"])  # input change invalidates
+    back = spark.read.parquet(os.path.join(ck, "data"))
+    assert back.count() == transcripts.count()
+
+
+def test_resume_short_circuits(spark, transcripts, tmp_path):
+    ck = str(tmp_path / "ck2")
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return transcripts
+
+    df1, resumed1 = resume_or_compute(spark, ck, "s", "h1", compute)
+    df2, resumed2 = resume_or_compute(spark, ck, "s", "h1", compute)
+    assert (resumed1, resumed2) == (False, True)
+    assert calls["n"] == 1
+    assert df1.count() == df2.count() == transcripts.count()
+    # identical bytes: sorted content equal
+    a = df1.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = df2.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_missing_marker_invalidates(spark, transcripts, tmp_path):
+    ck = str(tmp_path / "ck3")
+    write_checkpoint(transcripts, ck, "s", "h1")
+    os.remove(os.path.join(ck, "_SUCCESS_PITFEAT"))
+    assert not checkpoint_valid(ck, "h1")
+
+
+def test_lineage_json_is_audit_ready(spark, transcripts, tmp_path):
+    ck = str(tmp_path / "ck4")
+    write_checkpoint(transcripts, ck, "stageX", "cfgY", inputs=["t1", "t2"])
+    with open(os.path.join(ck, "_lineage.json")) as f:
+        lin = json.load(f)
+    assert lin["stage"] == "stageX"
+    assert lin["inputs"] == ["t1", "t2"]
+    assert {"pid", "rows", "bytes"} <= set(lin["partitions"][0])

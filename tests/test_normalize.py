@@ -1,0 +1,92 @@
+"""A2-A4 normalization + degenerate pruning vs numpy oracle (SURVEY.md §5)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pitfeat.ops.normalize import compute_minmax, normalize_minmax, prune_degenerate
+from pitfeat.ops.vectors import allclose_compare, assemble
+from pitfeat.schema import snapshot_feature_cols
+from tests.oracle_pandas import minmax_oracle
+
+FEATS = snapshot_feature_cols()
+
+
+def test_minmax_stats_and_degenerates(snapshots, snapshots_pd):
+    stats = compute_minmax(snapshots, FEATS)
+    _, survivors, mins, maxs = minmax_oracle(snapshots_pd, FEATS)
+    # fixture guarantees: f_13 constant, f_14 all-null => degenerate;
+    # f_15 constant-within-conv but varying across => NOT degenerate
+    deg = set(stats.degenerate())
+    assert "f_13" in deg and "f_14" in deg
+    assert "f_15" not in deg
+    assert stats.survivors() == survivors
+    for c in survivors:
+        assert stats.mins[c] == pytest.approx(mins[c])
+        assert stats.maxs[c] == pytest.approx(maxs[c])
+
+
+def test_normalize_matches_numpy(snapshots, snapshots_pd):
+    stats = compute_minmax(snapshots, FEATS)
+    pruned, cols = prune_degenerate(snapshots, stats)
+    out = (
+        normalize_minmax(pruned, stats, cols)
+        .toPandas()
+        .sort_values(["conv_id", "snap_ts"])
+        .reset_index(drop=True)
+    )
+    oracle, survivors, _, _ = minmax_oracle(snapshots_pd, FEATS)
+    assert cols == survivors
+    for c in cols:
+        np.testing.assert_allclose(
+            out[c].to_numpy(float), oracle[c].to_numpy(float), equal_nan=True
+        )
+        assert np.nanmin(out[c]) >= 0.0 and np.nanmax(out[c]) <= 1.0
+
+
+def test_nan_passthrough(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"x": [0.0, 1.0, 2.0, np.nan], "k": list("aabb")})
+    )
+    stats = compute_minmax(df, ["x"])
+    assert stats.mins["x"] == 0.0 and stats.maxs["x"] == 2.0  # NaN excluded
+    out = normalize_minmax(df, stats, ["x"]).toPandas().sort_values("x")
+    np.testing.assert_allclose(
+        sorted(out["x"].to_numpy(float), key=lambda v: (np.isnan(v), v)),
+        [0.0, 0.5, 1.0, np.nan],
+        equal_nan=True,
+    )
+
+
+def test_normalize_rejects_degenerate():
+    from pitfeat.ops.normalize import MinMaxStats
+
+    stats = MinMaxStats(mins={"x": 1.0}, maxs={"x": 1.0})
+    with pytest.raises(ValueError, match="degenerate"):
+        normalize_minmax(None, stats, ["x"])
+
+
+def test_assemble_and_allclose(spark, snapshots):
+    stats = compute_minmax(snapshots, FEATS)
+    pruned, cols = prune_degenerate(snapshots, stats)
+    v = assemble(normalize_minmax(pruned, stats, cols), cols)
+    v = v.withColumn("turn_idx", F.row_number().over(
+        __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy("conv_id").orderBy("snap_ts")
+    ))
+    res = allclose_compare(v, v, keys=["conv_id", "turn_idx"]).agg(F.min("allclose")).collect()[0][0]
+    assert res is True
+    # perturb one slot beyond tolerance -> allclose False somewhere
+    v2 = v.withColumn(
+        "features", F.transform("features", lambda x, i: F.when(i == 0, x + 0.5).otherwise(x))
+    )
+    res2 = allclose_compare(v, v2, keys=["conv_id", "turn_idx"]).agg(F.min("allclose")).collect()[0][0]
+    assert res2 is False
+
+
+def test_vector_width_fixed(snapshots):
+    stats = compute_minmax(snapshots, FEATS)
+    pruned, cols = prune_degenerate(snapshots, stats)
+    v = assemble(pruned, cols)
+    widths = v.select(F.size("features").alias("w")).distinct().collect()
+    assert len(widths) == 1 and widths[0][0] == len(cols)

@@ -1,0 +1,160 @@
+"""W1-W10 vs pandas oracles (SURVEY.md §5 item 1)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pitfeat.ops import windows as W
+from tests.oracle_pandas import gap_oracle, rolling_oracle, sessionize_oracle
+
+KEYS = ["conv_id", "turn_idx"]
+
+
+def _sorted_pd(df):
+    return df.toPandas().sort_values(KEYS).reset_index(drop=True)
+
+
+def test_gap(transcripts, transcripts_pd):
+    out = _sorted_pd(W.with_gap(transcripts))
+    oracle = gap_oracle(transcripts_pd)
+    np.testing.assert_allclose(
+        out["gap_s"].to_numpy(float), oracle.to_numpy(float), equal_nan=True
+    )
+
+
+def test_lags(transcripts, transcripts_pd):
+    out = _sorted_pd(W.with_lags(transcripts, ["role", "ts"], offsets=[1, 2], leads=True))
+    g = transcripts_pd.groupby("conv_id")
+    for k in (1, 2):
+        pd.testing.assert_series_equal(
+            out[f"role_lag{k}"], g["role"].shift(k).reset_index(drop=True), check_names=False
+        )
+        pd.testing.assert_series_equal(
+            out[f"role_lead{k}"], g["role"].shift(-k).reset_index(drop=True), check_names=False
+        )
+        pd.testing.assert_series_equal(
+            out[f"ts_lag{k}"], g["ts"].shift(k).reset_index(drop=True), check_names=False
+        )
+
+
+@pytest.mark.parametrize("fn", ["mean", "sum", "min", "max"])
+def test_rolling(transcripts, transcripts_pd, fn):
+    t = W.with_gap(transcripts)
+    out = _sorted_pd(W.rolling(t, "gap_s", [fn], window=5))
+    tp = transcripts_pd.copy()
+    tp["gap_s"] = gap_oracle(tp)
+    oracle = rolling_oracle(tp, "gap_s", fn, 5)
+    np.testing.assert_allclose(
+        out[f"gap_s_roll5_{fn}"].to_numpy(float),
+        oracle.to_numpy(float),
+        equal_nan=True,
+    )
+
+
+def test_rolling_time_range(transcripts, transcripts_pd):
+    out = _sorted_pd(W.rolling_time(transcripts.withColumn("one", W.F.lit(1.0)), "one", ["sum"], range_s=600))
+    # oracle: count of turns in trailing 600s inclusive
+    tp = transcripts_pd
+    vals = []
+    for _, g in tp.groupby("conv_id", sort=True):
+        ts = g["ts"].astype("int64").to_numpy() / 1e9
+        for t in ts:
+            vals.append(((ts >= t - 600) & (ts <= t)).sum())
+    np.testing.assert_allclose(out["one_last600s_sum"].to_numpy(float), np.array(vals, float))
+
+
+def test_cumulative_tools(transcripts, transcripts_pd):
+    out = _sorted_pd(W.cumulative_tool_calls(transcripts))
+    oracle = (
+        (transcripts_pd["tool"].fillna("") != "")
+        .astype(int)
+        .groupby(transcripts_pd["conv_id"])
+        .cumsum()
+    )
+    np.testing.assert_array_equal(out["tool_calls_cum"].to_numpy(), oracle.to_numpy())
+
+
+def test_ffill_and_bfill_gate(spark, transcripts):
+    from pyspark.sql import functions as F
+
+    t = transcripts.withColumn(
+        "sparse", F.when(F.pmod(F.col("turn_idx"), F.lit(3)) == 0, F.col("turn_idx").cast("double"))
+    )
+    out = _sorted_pd(W.forward_fill(t, ["sparse"]))
+    oracle = (
+        out.groupby("conv_id")["sparse"].ffill()
+    )
+    np.testing.assert_allclose(
+        out["sparse_ffill"].to_numpy(float), oracle.to_numpy(float), equal_nan=True
+    )
+    with pytest.raises(ValueError, match="leakage"):
+        W.backfill(t, ["sparse"])
+    out2 = _sorted_pd(W.backfill(t, ["sparse"], allow_leakage=True))
+    oracle2 = out2.groupby("conv_id")["sparse"].bfill()
+    np.testing.assert_allclose(
+        out2["sparse_bfill"].to_numpy(float), oracle2.to_numpy(float), equal_nan=True
+    )
+
+
+def test_sessionize(transcripts, transcripts_pd):
+    out = _sorted_pd(W.sessionize(transcripts, gap_s=1800))
+    oracle = sessionize_oracle(transcripts_pd, 1800)
+    np.testing.assert_array_equal(out["session_no"].to_numpy(), oracle["session_no"].to_numpy())
+    assert (out["session_id"] == oracle["session_id"]).all()
+    # forced gaps every ~20 turns must create multi-session convs
+    assert out.groupby("conv_id")["session_no"].max().max() > 1
+
+
+def test_session_summaries(transcripts):
+    s = W.sessionize(transcripts, gap_s=1800)
+    summ = W.session_summaries(s).toPandas()
+    sp = s.toPandas()
+    assert summ["n_turns"].sum() == len(sp)
+    g = sp.groupby("session_id")
+    one = summ.set_index("session_id").sort_index()
+    np.testing.assert_array_equal(one["n_turns"].to_numpy(), g.size().sort_index().to_numpy())
+
+
+def test_role_ngrams(transcripts, transcripts_pd):
+    vocab = ["user->assistant", "assistant->tool"]
+    out = _sorted_pd(W.role_ngrams(transcripts, n=2, count_window=10, vocab=vocab))
+    g = transcripts_pd.groupby("conv_id")["role"]
+    expected = (g.shift(1) + "->" + transcripts_pd["role"]).where(
+        g.cumcount() >= 1
+    )
+    pd.testing.assert_series_equal(out["role_2gram"], expected.reset_index(drop=True), check_names=False)
+    # rolling count oracle for one vocab entry
+    ind = (expected == vocab[0]).astype(float)
+    roll = (
+        ind.groupby(transcripts_pd["conv_id"]).rolling(10, min_periods=1).sum().reset_index(level=0, drop=True).sort_index()
+    )
+    np.testing.assert_allclose(out["ng_user_to_assistant_cnt"].to_numpy(float), roll.to_numpy(float))
+
+
+def test_dedup_turns(spark, transcripts):
+    doubled = transcripts.unionByName(transcripts)
+    out = W.dedup_turns(doubled)
+    assert out.count() == transcripts.count()
+
+
+def test_top_k(transcripts):
+    out = W.top_k_per_group(transcripts, "turn_idx", 3).toPandas()
+    assert (out.groupby("conv_id").size() <= 3).all()
+    mx = transcripts.toPandas().groupby("conv_id")["turn_idx"].max()
+    got = out.groupby("conv_id")["turn_idx"].max()
+    pd.testing.assert_series_equal(got.sort_index(), mx.sort_index(), check_names=False)
+
+
+def test_single_window_exchange(transcripts):
+    """Plan-shape: consecutive same-partitioning window ops share ONE shuffle."""
+    import re
+
+    def n_ex(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return len(re.findall(r"Exchange hashpartitioning\(conv_id", plan))
+
+    base = n_ex(transcripts)
+    t = W.with_gap(transcripts)
+    t = W.cumulative_tool_calls(t)
+    t = W.sessionize(t)
+    assert n_ex(t) - base <= 1
