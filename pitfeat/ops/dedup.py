@@ -1,0 +1,199 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each scale-designed:
+
+- exact: hash-groupBy on a normalized fingerprint — one shuffle, map-side
+  partial agg; the canonical keeper is min(doc_id) for determinism.
+- MinHash + LSH: shingle -> K minhashes -> B bands; candidate pairs come from
+  a self-join on (band, band_hash) buckets, NEVER an all-pairs product. All
+  hashing is Catalyst (xxhash64 + transform), so the signature build is
+  JVM-side; verification of candidates computes exact Jaccard on shingle sets.
+- SimHash: 64-bit signature from per-shingle hash bit votes; near-dups are
+  pairs within Hamming distance d, found via 4-segment LSH partitioning
+  (pigeonhole: d<=3 guarantees one equal 16-bit segment).
+- n-gram Jaccard: exact verification kernel used by both LSH paths.
+
+At 100TB the only shuffles are groupBys on banded keys whose fanout we
+control (B bands x rows), and candidate verification joins are
+bucket-bounded. No driver-side state anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime for affine minhash permutations; 31-bit so a*h + b stays
+# well under 2^63 (Spark 4 runs ANSI mode: long overflow would throw)
+_P = (1 << 31) - 1
+
+
+def _shingles(text_col, n: int = 3):
+    """Word n-gram shingle array (distinct) from a text column."""
+    toks = F.split(F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " "), " ")
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.array_distinct(F.when(cnt >= n, grams).otherwise(F.array(F.concat_ws(" ", toks))))
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    return df.withColumn("shingles", _shingles(F.col(text_col), n))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized text hash; keeps min(id) per group."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    h = df.withColumn("__fp", F.xxhash64(norm))
+    keep = h.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return h.join(keep, ["__fp", id_col], "left_semi").drop("__fp")
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", num_hashes: int = 32, shingle_n: int = 3, seed: int = 42
+) -> DataFrame:
+    """K minhash values per doc: min over shingles of (a*h + b) mod P per
+    permutation — all inside one Catalyst transform/aggregate chain."""
+    out = with_shingles(df, text_col, shingle_n)
+    hashes = out.withColumn(
+        "__h", F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+    )
+    sig_cols = []
+    for k in range(num_hashes):
+        a = (seed * 2654435761 + k * 40503) % _P or 1
+        b = (seed * 97 + k * 1610612741) % _P
+        mh = F.array_min(
+            F.transform("__h", lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P)))
+        )
+        sig_cols.append(mh.alias(f"mh_{k}"))
+    return hashes.select(*df.columns, "shingles", *sig_cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    Candidates: docs sharing any LSH band bucket. Verification: exact Jaccard
+    over shingle sets via array_intersect/union sizes (JVM-side).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, num_hashes, shingle_n, seed)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col), F.col("shingles"), F.explode(band_structs).alias("bb")
+    ).select(id_col, "shingles", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"), "band", "bh"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"), "band", "bh"
+    )
+    cand = (
+        a.join(b, ["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        cand.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard for two (small) candidate sets — the
+    verification primitive. For full-table dedup use minhash_lsh_pairs."""
+    a = with_shingles(df_a, text_col, shingle_n).select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    b = with_shingles(df_b, text_col, shingle_n).select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    pairs = a.crossJoin(F.broadcast(b))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", shingle_n: int = 2) -> DataFrame:
+    """64-bit SimHash per doc: per-bit majority vote over shingle hashes,
+    entirely with array expressions (aggregate over bit masks)."""
+    out = with_shingles(df, text_col, shingle_n)
+    h = F.transform("shingles", lambda s: F.xxhash64(s))
+    bit_votes = [
+        F.aggregate(
+            h,
+            F.lit(0),
+            lambda acc, x: acc
+            + F.when(x.bitwiseAND(F.lit(1 << i) if i < 63 else F.lit(-(1 << 63))) != 0, 1).otherwise(-1),
+        )
+        for i in range(64)
+    ]
+    sim = F.lit(0).cast("long")
+    for i, v in enumerate(bit_votes):
+        mask = F.lit(1 << i) if i < 63 else F.lit(-(1 << 63))
+        sim = sim.bitwiseOR(F.when(v > 0, mask.cast("long")).otherwise(F.lit(0).cast("long")))
+    return out.withColumn("simhash", sim).drop("shingles")
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Pairs within Hamming distance d of their SimHashes. LSH by 4 x 16-bit
+    segments (pigeonhole: any pair with d<=3 shares at least one segment)."""
+    s = simhash(df, text_col).select(id_col, "simhash")
+    segs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seg"),
+                F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("sv"),
+            )
+            for i in range(4)
+        ]
+    )
+    e = s.select(id_col, "simhash", F.explode(segs).alias("x")).select(
+        id_col, "simhash", F.col("x.seg").alias("seg"), F.col("x.sv").alias("sv")
+    )
+    a = e.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "seg", "sv")
+    b = e.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "seg", "sv")
+    cand = (
+        a.join(b, ["seg", "sv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

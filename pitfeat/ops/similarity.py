@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exactness baseline. The dot product is a pure
+  Catalyst ``aggregate(zip_with(...))`` expression — JVM-side, no Python — and
+  top-k per query uses a window rank, so the only shuffle is the rank
+  partitioning. Query set is broadcast (it is small by construction).
+- LSH-bucketed ANN (random hyperplane / signed projection):
+  each vector gets a ``nbits``-bit signature from fixed hash-derived
+  hyperplanes; candidates share a signature bucket (optionally with multiple
+  tables); exact cosine re-ranks inside buckets. This is the 100TB path: the
+  all-pairs product never materializes.
+- embedding-cosine near-dup: pairs with cosine >= threshold via the same LSH
+  bucketing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def with_cosine(df: DataFrame, col_a: str, col_b: str, out: str = "cosine") -> DataFrame:
+    a, b = F.col(col_a), F.col(col_b)
+    denom = _norm(a) * _norm(b)
+    return df.withColumn(out, F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(0.0)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast the query set, score every
+    (query, corpus) pair JVM-side, window-rank to k. O(|corpus| x |queries|)
+    compute but zero Python and one shuffle (the rank)."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+    scored = c.crossJoin(F.broadcast(q))
+    denom = _norm(F.col("__cv")) * _norm(F.col("__qv"))
+    scored = scored.withColumn(
+        "cosine",
+        F.when(denom > 0, _dot(F.col("__cv"), F.col("__qv")) / denom).otherwise(F.lit(0.0)),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def _hyperplane(dim: int, bit: int, seed: int):
+    """Deterministic pseudo-random hyperplane as a literal array: component j =
+    centered hash in [-0.5, 0.5). Computed once on the driver as expressions."""
+    comps = [
+        (F.lit(((hash((seed, bit, j)) & 0xFFFFFFFF) / 0xFFFFFFFF) - 0.5)) for j in range(dim)
+    ]
+    return F.array(*comps)
+
+
+def lsh_signatures(
+    df: DataFrame, vec_col: str = "embedding", nbits: int = 16, dim: int = 64, seed: int = 42
+) -> DataFrame:
+    """Random-hyperplane LSH signature (int bucket id). sign(v . h_b) per bit."""
+    sig = F.lit(0).cast("long")
+    for bit in range(nbits):
+        h = _hyperplane(dim, bit, seed)
+        d = _dot(F.col(vec_col), h)
+        sig = sig.bitwiseOR(F.when(d >= 0, F.lit(1 << bit).cast("long")).otherwise(F.lit(0).cast("long")))
+    return df.withColumn("lsh_bucket", sig)
+
+
+def _multi_table_buckets(
+    df: DataFrame, vec_col: str, nbits: int, tables: int, dim: int, seed: int
+) -> DataFrame:
+    """Explode each vector into ``tables`` (table_id, bucket) rows — the
+    standard multi-table LSH recall amplifier. Candidate pairs are rows that
+    share ANY table's bucket. Row fanout is x``tables`` (bounded, chosen by
+    the caller), never an all-pairs product."""
+    entries = []
+    for t in range(tables):
+        sig = F.lit(0).cast("long")
+        for bit in range(nbits):
+            h = _hyperplane(dim, bit, seed + 7919 * (t + 1))
+            d = _dot(F.col(vec_col), h)
+            sig = sig.bitwiseOR(
+                F.when(d >= 0, F.lit(1 << bit).cast("long")).otherwise(F.lit(0).cast("long"))
+            )
+        entries.append(F.struct(F.lit(t).alias("tbl"), sig.alias("bucket")))
+    return df.withColumn("__e", F.explode(F.array(*entries))).select(
+        *df.columns, F.col("__e.tbl").alias("tbl"), F.col("__e.bucket").alias("bucket")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nbits: int = 8,
+    tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: bucket join on multi-table LSH signatures, exact cosine
+    re-rank inside buckets. Recall < 1.0 by design; raise ``tables`` (recall)
+    or ``nbits`` (precision/cost), or fall back to cosine_topk for exactness."""
+    from pyspark.sql import Window
+
+    c = _multi_table_buckets(
+        corpus.select(F.col(id_col), F.col(vec_col).alias("__cv")), "__cv", nbits, tables, dim, seed
+    )
+    q = _multi_table_buckets(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")), "__qv", nbits, tables, dim, seed
+    )
+    joined = c.join(F.broadcast(q), ["tbl", "bucket"]).dropDuplicates([id_col, query_id_col])
+    denom = _norm(F.col("__cv")) * _norm(F.col("__qv"))
+    scored = joined.withColumn(
+        "cosine",
+        F.when(denom > 0, _dot(F.col("__cv"), F.col("__qv")) / denom).otherwise(F.lit(0.0)),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    nbits: int = 8,
+    tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold, candidates from
+    multi-table LSH buckets (misses pairs hashing apart in every table —
+    the documented ANN tradeoff; raise ``tables`` for recall)."""
+    s = _multi_table_buckets(
+        df.select(F.col(id_col), F.col(vec_col).alias("__v")), "__v", nbits, tables, dim, seed
+    )
+    a = s.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"), "tbl", "bucket")
+    b = s.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"), "tbl", "bucket")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    denom = _norm(F.col("va")) * _norm(F.col("vb"))
+    cos = F.when(denom > 0, _dot(F.col("va"), F.col("vb")) / denom).otherwise(F.lit(0.0))
+    return (
+        cand.withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,193 @@
+"""Text-analysis, dedup, similarity, multimodal operator tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pitfeat.ops import dedup as D
+from pitfeat.ops import similarity as S
+from pitfeat.ops import text as X
+from pitfeat.ops.multimodal import decode_features, gen_media
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+# ---------- text ----------
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "the cat and the dog is of to",
+                    "el que de la los caminos",
+                    "zzz qqq xxx",
+                ],
+            }
+        )
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in X.lang_id(df).collect()}
+    assert out == {1: "en", 2: "es", 3: "und"}
+
+
+def test_token_count(spark, docs):
+    out = X.token_count(docs).toPandas()
+    oracle = docs.toPandas()["text"].str.split(r"\s+").str.len()
+    np.testing.assert_array_equal(out["n_tokens_ws"].to_numpy(), oracle.to_numpy())
+    assert (out["n_tokens_bpe"] >= out["n_tokens_ws"]).all()
+
+
+def test_quality_score_bounds(docs):
+    out = X.quality_score(docs).toPandas()
+    assert out["quality"].between(0, 1).all()
+    for c in ("q_len", "q_punct", "q_stop", "q_wlen"):
+        assert out[c].between(0, 1).all()
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["Hello  World", "hello world ", "different"]})
+    )
+    out = X.fingerprint(df).toPandas().set_index("doc_id")["fp64"]
+    assert out[1] == out[2] != out[3]
+
+
+# ---------- dedup ----------
+
+
+def test_exact_dedup(spark, docs):
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    out = D.exact_dedup(doubled)
+    texts = docs.select("text").distinct().count()
+    assert out.count() == texts
+    # canonical keeper is the min id: all original ids survive
+    assert out.where(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again for testing near duplicates"
+    rows = [
+        (1, base),
+        (2, base + " extra"),  # near-dup of 1
+        (3, "completely different content about spark query engines and feature pipelines"),
+        (4, base),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    pairs = D.minhash_lsh_pairs(df, num_hashes=32, bands=16, threshold=0.5).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (1, 4) in got
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+    exact = pairs.set_index(["id_a", "id_b"])["jaccard"]
+    assert exact[(1, 4)] == pytest.approx(1.0)
+
+
+def test_minhash_jaccard_verification_is_exact(spark):
+    rows = [(1, "a b c d e f g h"), (2, "a b c d e f g x")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = D.ngram_jaccard(df, df, shingle_n=2).toPandas()
+    # shingles(1): 7 bigrams; shingles(2): 7; intersection 6; union 8
+    j = out.set_index(["id_a", "id_b"])["jaccard"]
+    assert j[(1, 2)] == pytest.approx(6 / 8)
+    assert j[(1, 1)] == pytest.approx(1.0)
+
+
+def test_simhash_near_pairs(spark):
+    base = "spark feature engineering pipeline with as-of joins and windows " * 4
+    rows = [(1, base), (2, base + " tail"), (3, "orthogonal text " * 10)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sh = D.simhash(df).toPandas().set_index("doc_id")["simhash"].astype(object)
+    ham12 = bin((int(sh[1]) ^ int(sh[2])) & (2**64 - 1)).count("1")
+    ham13 = bin((int(sh[1]) ^ int(sh[3])) & (2**64 - 1)).count("1")
+    assert ham12 < ham13
+    pairs = D.simhash_near_pairs(df, max_hamming=max(3, ham12)).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (1, 2) in got
+
+
+# ---------- similarity ----------
+
+
+def _np_cosine_topk(emb: pd.DataFrame, qids, k):
+    vecs = np.array(emb["embedding"].tolist(), dtype=float)
+    ids = emb["vec_id"].to_numpy()
+    norms = np.linalg.norm(vecs, axis=1)
+    out = {}
+    for q in qids:
+        qv = vecs[ids == q][0]
+        cos = vecs @ qv / (norms * np.linalg.norm(qv) + 1e-300)
+        order = np.lexsort((ids, -cos))
+        out[q] = list(ids[order][:k])
+    return out
+
+
+def test_cosine_topk_matches_numpy(spark, embs):
+    qids = [0, 1, 2]
+    queries = embs.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = S.cosine_topk(embs, queries, k=5).toPandas()
+    oracle = _np_cosine_topk(embs.toPandas(), qids, 5)
+    for q in qids:
+        mine = got[got["query_id"] == q].sort_values("rank")["vec_id"].tolist()
+        assert mine == oracle[q], q
+
+
+def test_lsh_topk_recall(spark, embs):
+    qids = [0, 1, 2, 3, 4]
+    queries = embs.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.cosine_topk(embs, queries, k=10).toPandas()
+    approx = S.lsh_topk(embs, queries, k=10, nbits=4).toPandas()
+    # self must always be found (same bucket trivially) and recall@10 > 0.3
+    recalls = []
+    for q in qids:
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        assert q in a
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) > 0.3
+
+
+def test_embedding_near_dup(spark, embs):
+    # plant an exact duplicate vector pair
+    dup = embs.limit(1).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label"
+    )
+    df = embs.unionByName(dup)
+    pairs = S.embedding_near_dup_pairs(df, threshold=0.9999, nbits=6).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    first_id = embs.limit(1).collect()[0]["vec_id"]
+    assert (first_id, first_id + 10_000) in got
+
+
+# ---------- multimodal ----------
+
+
+def test_multimodal_decode_plumbing(spark):
+    media = gen_media(spark, n=50)
+    out = decode_features(media)
+    pdf = out.toPandas()
+    assert len(pdf) == 50
+    assert "payload" not in pdf.columns
+    widths = pdf["media_features"].str.len().unique()
+    assert list(widths) == [8]
+    # deterministic across runs
+    pdf2 = decode_features(gen_media(spark, n=50)).toPandas()
+    a = np.array(pdf.sort_values("media_id")["media_features"].tolist())
+    b = np.array(pdf2.sort_values("media_id")["media_features"].tolist())
+    np.testing.assert_allclose(a, b)
