@@ -1,38 +1,1006 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship point-in-time feature pipeline on
+/root/testdata/sf0.001. ``queries()`` exposes one callable per implemented
+operator from SURVEY.md §2 (plus the training-data extras); ``oracle_sql()``
+gives the DuckDB-equivalent SQL. Column names are aliased identically on both
+sides; floating aggregates go through DECIMAL casts so sums are
+order-independent and engine-independent.
+
+The events table is the transcript stand-in (FIXTURES.md §B): user_id ->
+conv_id, (ts, event_id) -> turn order, event_type -> role, value -> feature.
+Orders provide as-of snapshots via (o_custkey, o_orderdate, o_totalprice).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pitfeat.ops import dedup as D
+from pitfeat.ops import similarity as SIM
+from pitfeat.ops import text as TX
+from pitfeat.ops import windows as W
+from pitfeat.ops.asof import asof_join
+from pitfeat.ops.normalize import compute_minmax, normalize_minmax, prune_degenerate
+from pitfeat.ops.vectors import allclose_compare, assemble
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _us(c):
+    """Exact epoch microseconds. Driver parquet holds TIMESTAMP_NTZ; with the
+    session tz forced to UTC the cast makes it the same instant DuckDB's
+    epoch_us() reads."""
+    return F.unix_micros(F.col(c).cast("timestamp"))
+
+
+def _utc(spark: SparkSession) -> SparkSession:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return _utc(spark).read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark, sf):
+    return _t(spark, sf, "events")
+
+
+def _orders_snapshots(spark, sf):
+    """As-of right side: one snapshot per (custkey, orderdate); max totalprice
+    dedups same-day orders so the as-of pick is deterministic in any engine."""
+    return (
+        _t(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("snap_ts"))
+        .agg(F.max("o_totalprice").alias("snap_price"))
+    )
+
+
+_SNAP_SQL = (
+    "SELECT o_custkey AS user_id, o_orderdate AS snap_ts, "
+    "max(o_totalprice) AS snap_price FROM orders GROUP BY 1, 2"
+)
+
+def _ew():
+    # events ordered per user by (ts, event_id) — unique total order
+    # (built lazily: Window exprs need an active SparkSession)
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+def _asof_query(strategy: str, allow_exact: bool = True, salt: int = 0):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+        snaps = _orders_snapshots(spark, sf_dir)
+        j = asof_join(
+            ev, snaps, on="user_id", left_ts="ts", right_ts="snap_ts",
+            allow_exact=allow_exact, strategy=strategy, salt_buckets=salt,
+        )
+        return j.select(
+            "event_id",
+            "user_id",
+            _us("ts").alias("ts_us"),
+            _us("snap_ts").alias("snap_ts_us"),
+            "snap_price",
+        )
+
+    return q
+
+
+def _asof_oracle(op: str = ">=") -> str:
+    return f"""
+        WITH snaps AS ({_SNAP_SQL})
+        SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+               epoch_us(s.snap_ts) AS snap_ts_us, s.snap_price
+        FROM events e ASOF LEFT JOIN snaps s
+          ON e.user_id = s.user_id AND e.ts {op} s.snap_ts
+    """
+
+
+# ---------------------------------------------------------------------------
+# flagship (entry): full PIT feature pipeline over events-as-transcripts
+# ---------------------------------------------------------------------------
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "event_type", "value")
+    snaps = _orders_snapshots(spark, sf_dir)
+    j = asof_join(ev, snaps, on="user_id", left_ts="ts", right_ts="snap_ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    wr = w.rowsBetween(-4, 0)
+    gap = _us("ts") - F.lag(_us("ts")).over(w)
+    out = (
+        j.withColumn("gap_us", gap)
+        .withColumn(
+            "session_no",
+            F.sum(F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)).over(wc),
+        )
+        .withColumn(
+            "roll5_value",
+            F.sum(F.col("value").cast("decimal(18,2)")).over(wr).cast("double"),
+        )
+        .withColumn(
+            "cum_purchases",
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(wc),
+        )
+    )
+    feats = ["gap_us", "roll5_value", "cum_purchases", "snap_price"]
+    stats = compute_minmax(out, feats)
+    pruned, cols = prune_degenerate(out, stats)
+    normed = normalize_minmax(pruned, stats, cols)
+    return assemble(normed, cols).select(
+        "user_id", "event_id", _us("ts").alias("ts_us"), "features"
+    )
+
+
+_FLAGSHIP_FEATURE_SQL = """
+    WITH snaps AS ({snap}),
+    j AS (
+        SELECT e.event_id, e.user_id, e.ts, e.event_type, e.value, s.snap_price
+        FROM events e ASOF LEFT JOIN snaps s
+          ON e.user_id = s.user_id AND e.ts >= s.snap_ts
+    ),
+    g AS (
+        SELECT *, epoch_us(ts) - lag(epoch_us(ts)) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM j
+    ),
+    f AS (
+        SELECT event_id, user_id, ts, gap_us,
+            sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+                OVER w_cum AS session_no,
+            (sum(value::DECIMAL(18,2)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))::DOUBLE AS roll5_value,
+            sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER w_cum AS cum_purchases,
+            snap_price
+        FROM g WINDOW w_cum AS (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s AS (SELECT min(gap_us) mn_g, max(gap_us) mx_g, min(roll5_value) mn_r, max(roll5_value) mx_r,
+                 min(cum_purchases) mn_c, max(cum_purchases) mx_c,
+                 min(snap_price) mn_p, max(snap_price) mx_p FROM f)
+    SELECT f.user_id, f.event_id, epoch_us(f.ts) AS ts_us,
+        (f.gap_us - s.mn_g) / (s.mx_g - s.mn_g) AS gap_us,
+        (f.roll5_value - s.mn_r) / (s.mx_r - s.mn_r) AS roll5_value,
+        (f.cum_purchases - s.mn_c) / (s.mx_c - s.mn_c) AS cum_purchases,
+        (f.snap_price - s.mn_p) / (s.mx_p - s.mn_p) AS snap_price
+    FROM f, s
+""".format(snap=_SNAP_SQL)
+
+
+def _flagship_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship output with the vector exploded to scalar columns so the
+    DuckDB oracle can hash values (arrays stay in entry()/V1 query)."""
+    df = _flagship(spark, sf_dir)
+
+    def slot(i, name):
+        c = F.element_at("features", i)
+        # assemble() encodes missing as NaN (fixed-width vectors); the SQL
+        # oracle has NULL there — convert back for comparison
+        return F.when(~F.isnan(c), c).alias(name)
+
+    return df.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        slot(1, "gap_us"),
+        slot(2, "roll5_value"),
+        slot(3, "cum_purchases"),
+        slot(4, "snap_price"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _flagship(spark, SF_DEFAULT)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- flagship ---
+    q["flagship_pit_features"] = _flagship_slots
+
+    # --- P: projection / filter / scrub ---
+    q["p1_projection_filter"] = lambda spark, sf: (
+        _events(spark, sf)
+        .where((F.col("event_type") == "purchase") & (F.col("value") > 100))
+        .select("event_id", "event_type", "value")
+    )
+
+    q["p3_null_scrub"] = lambda spark, sf: (
+        _events(spark, sf).select(
+            "event_id",
+            F.coalesce(
+                F.when(F.col("value") >= 50, F.col("value")), F.lit(-1.0)
+            ).alias("value_scrubbed"),
+        )
+    )
+
+    # --- J: joins ---
+    q["j1_asof_backward"] = _asof_query("cogroup")
+    q["j1_asof_merge"] = _asof_query("merge")
+    q["j1_asof_strict"] = _asof_query("cogroup", allow_exact=False)
+    q["j2_asof_salted"] = _asof_query("cogroup", salt=4)
+
+    def j3(spark, sf):
+        orders = _t(spark, sf, "orders")
+        cust = _t(spark, sf, "customer")
+        return (
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+        )
+
+    q["j3_broadcast_join"] = j3
+
+    def j4(spark, sf):
+        ev = _events(spark, sf)
+        orders = _t(spark, sf, "orders")
+        cond = (
+            (ev.user_id == orders.o_custkey)
+            & (ev.ts >= orders.o_orderdate)
+            & (ev.ts < F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        )
+        return (
+            orders.join(ev, cond, "left")
+            .groupBy("o_orderkey")
+            .agg(F.count("event_id").alias("n_events"))
+        )
+
+    q["j4_range_join"] = j4
+
+    def j5s(spark, sf):
+        cust = _t(spark, sf, "customer")
+        orders = _t(spark, sf, "orders")
+        return cust.join(
+            orders, cust.c_custkey == orders.o_custkey, "left_semi"
+        ).select("c_custkey")
+
+    def j5a(spark, sf):
+        cust = _t(spark, sf, "customer")
+        orders = _t(spark, sf, "orders")
+        return cust.join(
+            orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        ).select("c_custkey")
+
+    q["j5_semi_join"] = j5s
+    q["j5_anti_join"] = j5a
+
+    # --- W: windows ---
+    q["w1_lag_lead"] = lambda spark, sf: (
+        _events(spark, sf).select(
+            "event_id",
+            F.lag("value").over(_ew()).alias("prev_value"),
+            F.lead("event_type").over(_ew()).alias("next_type"),
+        )
+    )
+
+    q["w2_gap"] = lambda spark, sf: (
+        _events(spark, sf).select(
+            "event_id",
+            (_us("ts") - F.lag(_us("ts")).over(_ew())).alias("gap_us"),
+        )
+    )
+
+    q["w3_rolling"] = lambda spark, sf: (
+        _events(spark, sf).select(
+            "event_id",
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .over(_ew().rowsBetween(-4, 0))
+            .cast("double")
+            .alias("roll5_sum"),
+            F.min("value").over(_ew().rowsBetween(-4, 0)).alias("roll5_min"),
+        )
+    )
+
+    q["w4_rolling_time"] = lambda spark, sf: (
+        _events(spark, sf).select(
+            "event_id",
+            F.count("*")
+            .over(
+                Window.partitionBy("user_id")
+                .orderBy(_us("ts"))
+                .rangeBetween(-3_600_000_000, 0)
+            )
+            .alias("n_last_hour"),
+        )
+    )
+
+    q["w5_cumulative"] = lambda spark, sf: (
+        _events(spark, sf).select(
+            "event_id",
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .over(_ew().rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cum_purchases"),
+        )
+    )
+
+    q["w6_ffill"] = lambda spark, sf: (
+        _events(spark, sf).select(
+            "event_id",
+            F.last(
+                F.when(F.col("event_type") == "purchase", F.col("value")),
+                ignorenulls=True,
+            )
+            .over(_ew().rowsBetween(Window.unboundedPreceding, 0))
+            .alias("last_purchase_value"),
+        )
+    )
+
+    q["w7_role_ngram"] = lambda spark, sf: (
+        _events(spark, sf).select(
+            "event_id",
+            F.when(
+                F.lag("event_type").over(_ew()).isNotNull(),
+                F.concat_ws("->", F.lag("event_type").over(_ew()), F.col("event_type")),
+            ).alias("type_2gram"),
+        )
+    )
+
+    def w8(spark, sf):
+        ev = _events(spark, sf).select("event_id", "user_id", "ts")
+        doubled = ev.unionByName(ev)
+        return W.dedup_turns(doubled, key="event_id", order="user_id", ts="ts").select(
+            "event_id"
+        )
+
+    q["w8_dedup"] = w8
+
+    def w9(spark, sf):
+        ev = _events(spark, sf)
+        gap = _us("ts") - F.lag(_us("ts")).over(_ew())
+        s = ev.withColumn(
+            "session_no",
+            F.sum(F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)).over(
+                _ew().rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        return s.groupBy("user_id").agg(F.max("session_no").alias("n_sessions"))
+
+    q["w9_sessionize"] = w9
+
+    def a7(spark, sf):
+        ev = _events(spark, sf)
+        gap = _us("ts") - F.lag(_us("ts")).over(_ew())
+        s = ev.withColumn(
+            "session_no",
+            F.sum(F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)).over(
+                _ew().rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        return s.groupBy("user_id", "session_no").agg(
+            F.count("*").alias("n_events"),
+            (F.max(_us("ts")) - F.min(_us("ts"))).alias(
+                "duration_us"
+            ),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "n_purchases"
+            ),
+        )
+
+    q["a7_session_summary"] = a7
+
+    q["w10_topk_per_group"] = lambda spark, sf: (
+        _events(spark, sf)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("value").desc(), F.col("event_id").asc()
+                )
+            ),
+        )
+        .where(F.col("rnk") <= 3)
+        .select("user_id", "event_id", "value", "rnk")
+    )
+
+    # --- A: aggregations ---
+    q["a1_grouped_agg"] = lambda spark, sf: (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+    q["a2_minmax_stats"] = lambda spark, sf: (
+        _t(spark, sf, "lineitem").agg(
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+    )
+
+    def a3(spark, sf):
+        li = _t(spark, sf, "lineitem").withColumn("const_col", F.lit(7.0)).withColumn(
+            "null_col", F.lit(None).cast("double")
+        )
+        stats = compute_minmax(li, ["l_quantity", "const_col", "null_col"])
+        deg = set(stats.degenerate())
+        rows = [(c, c in deg) for c in ["l_quantity", "const_col", "null_col"]]
+        return spark.createDataFrame(rows, "col_name string, is_degenerate boolean")
+
+    q["a3_degenerate_prune"] = a3
+
+    def a4(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        stats = compute_minmax(li, ["l_extendedprice"])
+        return normalize_minmax(li, stats, ["l_extendedprice"]).select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").alias("price_norm"),
+        )
+
+    q["a4_minmax_normalize"] = a4
+
+    q["a5_distinct"] = lambda spark, sf: (
+        _events(spark, sf).agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )
+
+    q["a6_rollup"] = lambda spark, sf: (
+        _t(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+    q["a8_percentile"] = lambda spark, sf: (
+        _events(spark, sf)
+        .groupBy("event_type")
+        .agg(F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"))
+    )
+
+    # --- O: sorts / limits / set ops ---
+    q["o2_topk_global"] = lambda spark, sf: (
+        _t(spark, sf, "lineitem")
+        .orderBy(
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(10)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+    def o3(spark, sf):
+        ev = _events(spark, sf)
+        a = ev.where(F.col("event_type") == "click").select("event_id", "value")
+        b = ev.where(F.col("event_type") == "view").select("event_id")
+        return a.unionByName(b, allowMissingColumns=True)
+
+    q["o3_union"] = o3
+
+    def o4i(spark, sf):
+        ev = _events(spark, sf)
+        a = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+        b = ev.where(F.col("event_type") == "error").select("user_id").distinct()
+        return a.intersect(b)
+
+    def o4e(spark, sf):
+        ev = _events(spark, sf)
+        a = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+        b = ev.where(F.col("event_type") == "error").select("user_id").distinct()
+        return a.exceptAll(b)
+
+    q["o4_intersect"] = o4i
+    q["o4_except"] = o4e
+
+    # --- scalar function families (§2.7) ---
+    q["f_string_funcs"] = lambda spark, sf: (
+        _t(spark, sf, "documents").select(
+            "doc_id",
+            F.length("text").alias("len_chars"),
+            F.substring(F.upper("text"), 1, 5).alias("head5"),
+            F.sha2(F.col("text"), 256).alias("sha"),
+        )
+    )
+
+    q["f_date_funcs"] = lambda spark, sf: (
+        _events(spark, sf).select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM").alias("month_str"),
+            F.dayofweek("ts").alias("dow"),
+        )
+    )
+
+    q["f_json_funcs"] = lambda spark, sf: (
+        _events(spark, sf).select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        )
+    )
+
+    q["f_array_funcs"] = lambda spark, sf: (
+        _t(spark, sf, "embeddings").select(
+            "vec_id",
+            F.round(
+                F.aggregate(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                / F.size("embedding"),
+                6,
+            ).alias("emb_mean"),
+            F.element_at("embedding", 1).cast("double").alias("first_dim"),
+        )
+    )
+
+    # --- V: vectors ---
+    def v1(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        v = assemble(li, ["l_quantity", "l_discount", "l_tax"], "features")
+        return v.select(
+            "l_orderkey", "l_linenumber", F.posexplode("features").alias("slot", "fval")
+        )
+
+    q["v1_assemble_slots"] = v1
+
+    def v2(spark, sf):
+        e = _t(spark, sf, "embeddings").select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("features")
+        )
+        return allclose_compare(e, e, keys=["vec_id"])
+
+    q["v2_allclose"] = v2
+
+    # --- dedup (planted duplicates: doc_id + 1000000) ---
+    def _doubled_docs(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+
+    q["d1_exact_dedup"] = lambda spark, sf: (
+        D.exact_dedup(_doubled_docs(spark, sf)).select("doc_id")
+    )
+
+    q["d2_minhash_lsh"] = lambda spark, sf: (
+        D.minhash_lsh_pairs(
+            _doubled_docs(spark, sf), num_hashes=32, bands=16, threshold=0.99
+        )
+    )
+
+    q["d3_simhash_pairs"] = lambda spark, sf: (
+        # scope to planted-pair verification: word-salad docs produce a few
+        # genuine 64-bit simhash collisions, which the SQL oracle cannot model
+        D.simhash_near_pairs(_doubled_docs(spark, sf), max_hamming=0)
+        .where(F.col("id_b") - F.col("id_a") == 1_000_000)
+        .withColumn("hamming", F.col("hamming").cast("long"))
+    )
+
+    def d4(spark, sf):
+        d = _t(spark, sf, "documents").where(F.col("doc_id") < 20)
+        return D.ngram_jaccard(d, d, shingle_n=3).select(
+            "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+        )
+
+    q["d4_ngram_jaccard"] = d4
+
+    # --- similarity ---
+    def s1(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        queries_df = e.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = SIM.cosine_topk(e, queries_df, k=5)
+        return out.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank")
+
+    q["s1_cosine_topk"] = s1
+
+    def s2(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        queries_df = e.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return SIM.lsh_topk(e, queries_df, k=5, nbits=4, tables=8)
+
+    q["s2_lsh_topk"] = s2  # no SQL oracle: hash-bucket-dependent (rows-only)
+
+    def s3(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        doubled = e.unionByName(e.withColumn("vec_id", F.col("vec_id") + 10_000))
+        pairs = SIM.embedding_near_dup_pairs(doubled, threshold=0.999, nbits=6, tables=4)
+        return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+    q["s3_embedding_neardup"] = s3
+
+    # --- text analysis ---
+    q["t1_lang_id"] = lambda spark, sf: (
+        TX.lang_id(_t(spark, sf, "documents"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+    q["t2_token_count"] = lambda spark, sf: (
+        TX.token_count(_t(spark, sf, "documents")).select(
+            "doc_id", "n_tokens_ws", "n_tokens_bpe"
+        )
+    )
+
+    q["t3_quality"] = lambda spark, sf: (
+        TX.quality_score(_t(spark, sf, "documents")).select(
+            "doc_id", F.round("quality", 6).alias("quality")
+        )
+    )
+
+    q["t4_fingerprint"] = lambda spark, sf: (
+        TX.fingerprint(_t(spark, sf, "documents")).agg(
+            F.countDistinct("fp64").alias("n_distinct")
+        )
+    )
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+_MARKERS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "les", "des", "est"),
+    "de": ("der", "die", "und", "das", "ist"),
+}
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _MARKERS[lang])
+    return (
+        f"len(list_filter(string_split_regex(lower(text), '\\s+'), "
+        f"x -> x IN ({words})))"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["flagship_pit_features"] = _FLAGSHIP_FEATURE_SQL
+
+    o["p1_projection_filter"] = (
+        "SELECT event_id, event_type, value FROM events "
+        "WHERE event_type = 'purchase' AND value > 100"
+    )
+
+    o["p3_null_scrub"] = (
+        "SELECT event_id, coalesce(CASE WHEN value >= 50 THEN value END, -1.0) "
+        "AS value_scrubbed FROM events"
+    )
+
+    o["j1_asof_backward"] = _asof_oracle(">=")
+    o["j1_asof_merge"] = _asof_oracle(">=")
+    o["j1_asof_strict"] = _asof_oracle(">")
+    o["j2_asof_salted"] = _asof_oracle(">=")
+
+    o["j3_broadcast_join"] = """
+        SELECT c_mktsegment, count(*) AS n_orders,
+               (sum(o_totalprice::DECIMAL(18,2)))::DOUBLE AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
     """
-    return {}
+
+    o["j4_range_join"] = """
+        SELECT o_orderkey, count(e.event_id) AS n_events
+        FROM orders o LEFT JOIN events e
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+         AND e.ts < o.o_orderdate + INTERVAL 30 DAY
+        GROUP BY o_orderkey
+    """
+
+    o["j5_semi_join"] = (
+        "SELECT c_custkey FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+    )
+    o["j5_anti_join"] = (
+        "SELECT c_custkey FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
+    )
+
+    o["w1_lag_lead"] = """
+        SELECT event_id, lag(value) OVER w AS prev_value, lead(event_type) OVER w AS next_type
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+    o["w2_gap"] = """
+        SELECT event_id, epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+    o["w3_rolling"] = """
+        SELECT event_id,
+            (sum(value::DECIMAL(18,2)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))::DOUBLE AS roll5_sum,
+            min(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll5_min
+        FROM events
+    """
+
+    o["w4_rolling_time"] = """
+        SELECT event_id, count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour
+        FROM events
+    """
+
+    o["w5_cumulative"] = """
+        SELECT event_id, sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_purchases
+        FROM events
+    """
+
+    o["w6_ffill"] = """
+        SELECT event_id, last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+        FROM events
+    """
+
+    o["w7_role_ngram"] = """
+        SELECT event_id, CASE WHEN lag(event_type) OVER w IS NOT NULL
+            THEN lag(event_type) OVER w || '->' || event_type END AS type_2gram
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+    o["w8_dedup"] = "SELECT event_id FROM events"
+
+    o["w9_sessionize"] = """
+        WITH g AS (
+            SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
+                ts, event_id
+            FROM events
+        ), s AS (
+            SELECT user_id, sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+            FROM g
+        )
+        SELECT user_id, max(session_no) AS n_sessions FROM s GROUP BY user_id
+    """
+
+    o["a7_session_summary"] = """
+        WITH g AS (
+            SELECT *, epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+            FROM events
+        ), s AS (
+            SELECT *, sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+            FROM g
+        )
+        SELECT user_id, session_no, count(*) AS n_events,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+        FROM s GROUP BY user_id, session_no
+    """
+
+    o["w10_topk_per_group"] = """
+        SELECT user_id, event_id, value, rnk FROM (
+            SELECT user_id, event_id, value, row_number() OVER
+                (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rnk
+            FROM events
+        ) WHERE rnk <= 3
+    """
+
+    o["a1_grouped_agg"] = """
+        SELECT l_returnflag, l_linestatus,
+            (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty,
+            (sum(l_extendedprice::DECIMAL(18,2)))::DOUBLE AS sum_base_price,
+            (sum(l_quantity::DECIMAL(18,2)))::DOUBLE / count(*) AS avg_qty,
+            count(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """
+
+    o["a2_minmax_stats"] = """
+        SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+               min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+        FROM lineitem
+    """
+
+    o["a3_degenerate_prune"] = """
+        SELECT 'l_quantity' AS col_name, (min(l_quantity) = max(l_quantity)) AS is_degenerate FROM lineitem
+        UNION ALL SELECT 'const_col', TRUE
+        UNION ALL SELECT 'null_col', TRUE
+    """
+
+    o["a4_minmax_normalize"] = """
+        SELECT l_orderkey, l_linenumber,
+            (l_extendedprice - s.mn) / (s.mx - s.mn) AS price_norm
+        FROM lineitem, (SELECT min(l_extendedprice) mn, max(l_extendedprice) mx FROM lineitem) s
+    """
+
+    o["a5_distinct"] = (
+        "SELECT count(DISTINCT user_id) AS n_users, count(DISTINCT event_type) AS n_types FROM events"
+    )
+
+    o["a6_rollup"] = (
+        "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem "
+        "GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+    )
+
+    o["a8_percentile"] = (
+        "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50 "
+        "FROM events GROUP BY event_type"
+    )
+
+    o["o2_topk_global"] = """
+        SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 10
+    """
+
+    o["o3_union"] = """
+        SELECT event_id, value FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT event_id, NULL AS value FROM events WHERE event_type = 'view'
+    """
+
+    o["o4_intersect"] = """
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        INTERSECT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    """
+
+    o["o4_except"] = """
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        EXCEPT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    """
+
+    o["f_string_funcs"] = """
+        SELECT doc_id, length(text) AS len_chars, substring(upper(text), 1, 5) AS head5,
+               sha256(text) AS sha
+        FROM documents
+    """
+
+    o["f_date_funcs"] = """
+        SELECT event_id, strftime(ts, '%Y-%m') AS month_str,
+               (dayofweek(ts) + 1) AS dow
+        FROM events
+    """
+
+    o["f_json_funcs"] = (
+        "SELECT event_id, json_extract_string(props, '$.k')::INTEGER AS k_val FROM events"
+    )
+
+    o["f_array_funcs"] = """
+        SELECT vec_id,
+            round(list_aggregate(embedding::DOUBLE[], 'sum') / len(embedding), 6) AS emb_mean,
+            embedding[1]::DOUBLE AS first_dim
+        FROM embeddings
+    """
+
+    o["v1_assemble_slots"] = """
+        SELECT l_orderkey, l_linenumber, 0 AS slot, l_quantity AS fval FROM lineitem
+        UNION ALL SELECT l_orderkey, l_linenumber, 1, l_discount FROM lineitem
+        UNION ALL SELECT l_orderkey, l_linenumber, 2, l_tax FROM lineitem
+    """
+
+    o["v2_allclose"] = "SELECT vec_id, TRUE AS allclose FROM embeddings"
+
+    o["d1_exact_dedup"] = "SELECT doc_id FROM documents"
+
+    o["d2_minhash_lsh"] = (
+        "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 1.0 AS jaccard FROM documents"
+    )
+
+    o["d3_simhash_pairs"] = (
+        "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 0::BIGINT AS hamming FROM documents"
+    )
+
+    o["d4_ngram_jaccard"] = """
+        WITH sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(t) - 2, 1)),
+                i -> array_to_string(t[i:i+2], ' '))) AS s
+            FROM (SELECT doc_id, string_split(
+                regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+                FROM documents WHERE doc_id < 20)
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            round(len(list_intersect(a.s, b.s))::DOUBLE /
+                  len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        FROM sh a, sh b
+    """
+
+    o["s1_cosine_topk"] = """
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id,
+                CASE WHEN list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) > 0
+                      AND list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) > 0
+                THEN list_dot_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+                     (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])))
+                ELSE 0.0 END AS cosine
+            FROM embeddings c, embeddings q WHERE q.vec_id < 3
+        ), ranked AS (
+            SELECT query_id, vec_id, cosine, row_number() OVER
+                (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, round(cosine, 4) AS cosine, rank FROM ranked WHERE rank <= 5
+    """
+
+    o["s3_embedding_neardup"] = (
+        "SELECT vec_id AS id_a, vec_id + 10000 AS id_b, 1.0 AS cosine FROM embeddings"
+    )
+
+    lang_cases = " ".join(
+        f"WHEN s_{lg} = best THEN '{lg}'" for lg in _MARKERS
+    )
+    lang_scores = ", ".join(f"{_lang_score_sql(lg)} AS s_{lg}" for lg in _MARKERS)
+    greatest = ", ".join(f"s_{lg}" for lg in _MARKERS)
+    o["t1_lang_id"] = f"""
+        WITH s AS (SELECT doc_id, {lang_scores} FROM documents),
+        p AS (SELECT doc_id, CASE WHEN greatest({greatest}) <= 0 THEN 'und'
+              {lang_cases} END AS lang_pred
+              FROM (SELECT *, greatest({greatest}) AS best FROM s))
+        SELECT lang_pred, count(*) AS n FROM p GROUP BY lang_pred
+    """
+
+    o["t2_token_count"] = r"""
+        SELECT doc_id,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS n_tokens_ws,
+            greatest(
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END,
+                floor(length(text) / 4)::BIGINT +
+                length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
+            )::BIGINT AS n_tokens_bpe
+        FROM documents
+    """
+
+    o["t3_quality"] = r"""
+        WITH c AS (
+            SELECT doc_id,
+                length(text)::DOUBLE AS n,
+                greatest(len(string_split_regex(lower(text), '\s+')), 1)::DOUBLE AS ntok,
+                len(list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x IN ('the','and','of','to','is','el','la','de','que','los',
+                               'le','les','des','est','der','die','und','das','ist')))::DOUBLE AS nstop,
+                length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))::DOUBLE AS npunct
+            FROM documents
+        )
+        SELECT doc_id, round((
+            least(n / 500.0, 1.0) +
+            (1.0 - least(npunct / greatest(n, 1.0) * 5.0, 1.0)) +
+            least(nstop / ntok * 4.0, 1.0) +
+            (CASE WHEN n / ntok >= 3 AND n / ntok <= 10 THEN 1.0 ELSE 0.3 END)
+        ) / 4.0, 6) AS quality
+        FROM c
+    """
+
+    o["t4_fingerprint"] = (
+        "SELECT count(DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
+        "AS n_distinct FROM documents"
+    )
+
+    return o

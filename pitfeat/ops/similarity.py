@@ -48,10 +48,12 @@ def cosine_topk(
     compute but zero Python and one shuffle (the rank)."""
     from pyspark.sql import Window
 
+    # cast to double arrays: float32 products drift ~1e-7/term vs any
+    # double-math oracle, and mixed-precision cosine is simply less accurate
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qv")
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qv")
     )
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+    c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv"))
     scored = c.crossJoin(F.broadcast(q))
     denom = _norm(F.col("__cv")) * _norm(F.col("__qv"))
     scored = scored.withColumn(
@@ -127,10 +129,12 @@ def lsh_topk(
     from pyspark.sql import Window
 
     c = _multi_table_buckets(
-        corpus.select(F.col(id_col), F.col(vec_col).alias("__cv")), "__cv", nbits, tables, dim, seed
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv")),
+        "__cv", nbits, tables, dim, seed,
     )
     q = _multi_table_buckets(
-        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")), "__qv", nbits, tables, dim, seed
+        queries.select(F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qv")),
+        "__qv", nbits, tables, dim, seed,
     )
     joined = c.join(F.broadcast(q), ["tbl", "bucket"]).dropDuplicates([id_col, query_id_col])
     denom = _norm(F.col("__cv")) * _norm(F.col("__qv"))
@@ -160,7 +164,8 @@ def embedding_near_dup_pairs(
     multi-table LSH buckets (misses pairs hashing apart in every table —
     the documented ANN tradeoff; raise ``tables`` for recall)."""
     s = _multi_table_buckets(
-        df.select(F.col(id_col), F.col(vec_col).alias("__v")), "__v", nbits, tables, dim, seed
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")),
+        "__v", nbits, tables, dim, seed,
     )
     a = s.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"), "tbl", "bucket")
     b = s.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"), "tbl", "bucket")

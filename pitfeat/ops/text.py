@@ -48,7 +48,7 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     runs + ~1 token per 4 chars of long words)."""
     ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
     ws = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(ws)
-    punct = F.length(F.regexp_replace(F.col(text_col), r"[^\p{Punct}]", ""))
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^!-/:-@\\\[-`{-~]", ""))
     bpe_ish = (F.length(F.col(text_col)) / F.lit(4.0)).cast("long") + punct
     return df.withColumn("n_tokens_ws", ws.cast("long")).withColumn(
         "n_tokens_bpe", F.greatest(ws.cast("long"), bpe_ish)
@@ -63,7 +63,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tok = F.greatest(F.size(toks), F.lit(1))
     stop_arr = F.array(*[F.lit(w) for ws in _LANG_MARKERS.values() for w in ws])
     stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / n_tok
-    punct_ratio = F.length(F.regexp_replace(F.col(text_col), r"[^\p{Punct}]", "")) / F.greatest(length, F.lit(1))
+    punct_ratio = F.length(F.regexp_replace(F.col(text_col), r"[^!-/:-@\\\[-`{-~]", "")) / F.greatest(length, F.lit(1))
     mean_wlen = length / n_tok
     len_score = F.least(length / F.lit(500.0), F.lit(1.0))
     punct_score = F.lit(1.0) - F.least(punct_ratio * 5.0, F.lit(1.0))

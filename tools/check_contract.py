@@ -1,0 +1,109 @@
+"""Local mirror of the driver's correctness gate: run every queries() entry
+via Spark and its oracle_sql() via DuckDB on the same sf dir; compare row
+count, column names, and sorted values (NaN==NaN, 1e-9 rel tol on floats).
+
+Usage: python tools/check_contract.py [sf_dir] [name_filter]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+from pitfeat.session import get_spark
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            try:
+                df[c] = df[c].astype(float)
+            except (ValueError, TypeError):
+                df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), na_position="first").reset_index(drop=True)
+
+
+def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
+    if sorted(a.columns) != sorted(b.columns):
+        return f"columns: spark={sorted(a.columns)} oracle={sorted(b.columns)}"
+    if len(a) != len(b):
+        return f"rows: spark={len(a)} oracle={len(b)}"
+    a, b = norm_frame(a), norm_frame(b)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            av = av.astype(float).to_numpy()
+            bv = bv.astype(float).to_numpy()
+            ok = np.isclose(av, bv, rtol=1e-9, atol=1e-12, equal_nan=True) | (
+                np.isnan(av) & np.isnan(bv)
+            )
+            if not ok.all():
+                i = int(np.argmin(ok))
+                return f"col {c}: {av[i]!r} != {bv[i]!r} at sorted row {i} ({(~ok).sum()} diffs)"
+        else:
+            eq = (av == bv) | (av.isna() & bv.isna())
+            if not eq.all():
+                i = int(np.argmin(eq.to_numpy()))
+                return f"col {c}: {av.iloc[i]!r} != {bv.iloc[i]!r} at sorted row {i} ({(~eq).sum()} diffs)"
+    return None
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    filt = sys.argv[2] if len(sys.argv) > 2 else ""
+    spark = get_spark("contract-check", master="local[8]")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    os_ = entrymod.oracle_sql()
+    missing = [k for k in os_ if k not in qs]
+    if missing:
+        print("ORACLE WITHOUT QUERY:", missing)
+    failed = []
+    for name, fn in qs.items():
+        if filt and filt not in name:
+            continue
+        try:
+            got = fn(spark, sf).toPandas()
+        except Exception as ex:
+            print(f"FAIL {name}: spark error {type(ex).__name__}: {str(ex)[:300]}")
+            failed.append(name)
+            continue
+        if name not in os_:
+            print(f"ok?  {name}: rows={len(got)} (no oracle — rows-only)")
+            if len(got) == 0:
+                print(f"     WARNING {name}: 0 rows")
+            continue
+        try:
+            want = con.execute(os_[name]).fetchdf()
+        except Exception as ex:
+            print(f"FAIL {name}: duckdb error {str(ex)[:300]}")
+            failed.append(name)
+            continue
+        err = compare(got, want)
+        if err:
+            print(f"FAIL {name}: {err}")
+            failed.append(name)
+        else:
+            print(f"OK   {name}: rows={len(got)}")
+    print()
+    if failed:
+        print(f"{len(failed)} FAILED: {failed}")
+        sys.exit(1)
+    print("ALL OK")
+
+
+if __name__ == "__main__":
+    main()
