@@ -133,6 +133,9 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     feats = ["gap_us", "roll5_value", "cum_purchases", "snap_price"]
+    # the stats pass is a separate job; persist the joined+windowed stage so
+    # the final projection doesn't recompute the as-of join and windows
+    out = out.persist()
     stats = compute_minmax(out, feats)
     pruned, cols = prune_degenerate(out, stats)
     normed = normalize_minmax(pruned, stats, cols)
@@ -231,10 +234,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # --- J: joins ---
-    q["j1_asof_backward"] = _asof_query("cogroup")
+    q["j1_asof_backward"] = _asof_query("window")
+    q["j1_asof_cogroup"] = _asof_query("cogroup")
     q["j1_asof_merge"] = _asof_query("merge")
-    q["j1_asof_strict"] = _asof_query("cogroup", allow_exact=False)
-    q["j2_asof_salted"] = _asof_query("cogroup", salt=4)
+    q["j1_asof_strict"] = _asof_query("window", allow_exact=False)
+    q["j2_asof_salted"] = _asof_query("window", salt=4)
 
     def j3(spark, sf):
         orders = _t(spark, sf, "orders")
@@ -585,7 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["d2_minhash_lsh"] = lambda spark, sf: (
         D.minhash_lsh_pairs(
-            _doubled_docs(spark, sf), num_hashes=32, bands=16, threshold=0.99
+            _doubled_docs(spark, sf), num_hashes=32, bands=4, threshold=0.99
         )
     )
 
@@ -697,6 +701,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["j1_asof_backward"] = _asof_oracle(">=")
+    o["j1_asof_cogroup"] = _asof_oracle(">=")
     o["j1_asof_merge"] = _asof_oracle(">=")
     o["j1_asof_strict"] = _asof_oracle(">")
     o["j2_asof_salted"] = _asof_oracle(">=")

@@ -1,0 +1,78 @@
+"""Benchmark harness (driver contract + SURVEY.md §6).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+`value` is the total wall-clock of the headline set; per-query seconds are in
+`queries`. The flagship PIT feature build also reports throughput
+(turns/sec) in `extra`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from pitfeat.session import get_spark
+
+HEADLINE = [
+    "flagship_pit_features",
+    "j1_asof_backward",
+    "j1_asof_merge",
+    "j2_asof_salted",
+    "w3_rolling",
+    "w9_sessionize",
+    "a1_grouped_agg",
+    "a4_minmax_normalize",
+    "d2_minhash_lsh",
+    "s1_cosine_topk",
+    "t3_quality",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("pitfeat-bench", master=f"local[{cpus}]")
+    qs = entrymod.queries()
+
+    per_query: dict[str, float] = {}
+    extra: dict[str, float] = {}
+    total = 0.0
+    n_rows_flagship = 0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        # count() forces full execution without driver-side materialization
+        n = fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+        if name == "flagship_pit_features":
+            n_rows_flagship = n
+            extra["flagship_rows"] = n
+            extra["flagship_turns_per_sec"] = round(n / dt, 1)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline query set wall-clock (flagship PIT feature build + as-of/window/agg/dedup/similarity/text)",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "extra": extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""Two-parallelism scaling bench (BASELINE.md protocol; north rule's N->4N
+executor criterion evidenced by local[8] vs local[32] on identical input).
+
+Generates deterministic synthetic transcripts + snapshots once (seed 42), runs
+jobs/build_features.py via spark-submit at both parallelism levels (>=3 trials
+each, median), and writes bench/scaling_results.json + updates the measurement
+table in BASELINE.md is left to the caller.
+
+Usage: python bench/run_scaling.py [--turns 2000000] [--trials 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DATA = "/tmp/pitfeat_bench_data"
+SPARK_SUBMIT = os.environ.get("SPARK_SUBMIT", "/opt/spark/bin/spark-submit")
+
+
+def gen_data(n_convs: int, avg_turns: int, skew: str = "uniform"):
+    sys.path.insert(0, REPO)
+    from pitfeat.session import get_spark
+    from pitfeat.synth import gen_snapshots, gen_transcripts
+
+    t_path = f"{DATA}/transcripts_{skew}_{n_convs}x{avg_turns}.parquet"
+    s_path = f"{DATA}/snapshots_{skew}_{n_convs}x{avg_turns}.parquet"
+    if os.path.exists(t_path) and os.path.exists(s_path):
+        return t_path, s_path
+    spark = get_spark("bench-gen", master="local[32]")
+    t = gen_transcripts(spark, n_convs=n_convs, avg_turns=avg_turns, seed=42, skew=skew)
+    t.write.mode("overwrite").parquet(t_path)
+    t2 = spark.read.parquet(t_path)
+    gen_snapshots(t2, seed=42).write.mode("overwrite").parquet(s_path)
+    n = t2.count()
+    print(f"generated {n} turns -> {t_path}")
+    spark.stop()
+    return t_path, s_path
+
+
+def run_once(master: str, t_path: str, s_path: str) -> dict:
+    cmd = [
+        SPARK_SUBMIT,
+        "--master", master,
+        "--conf", "spark.driver.memory=48g",
+        "--conf", "spark.sql.shuffle.partitions=64",
+        "--conf", "spark.ui.enabled=false",
+        os.path.join(REPO, "jobs", "build_features.py"),
+        "--transcripts", t_path,
+        "--snapshots", s_path,
+        "--count-only",
+        "--warmup",
+    ]
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=1800)
+    for line in reversed(out.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no JSON from {master}: {out.stdout[-500:]} {out.stderr[-2000:]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--convs", type=int, default=500_000)
+    ap.add_argument("--avg-turns", type=int, default=20)
+    ap.add_argument("--trials", type=int, default=3)
+    # uniform for the scaling-efficiency metric: per-conv windows are
+    # inherently sequential within a conv, so a zipf fixture whose hot conv
+    # holds 30% of ALL rows caps speedup by Amdahl regardless of engine;
+    # skew handling itself is evidenced by the salted as-of (see tests +
+    # BENCH skew run)
+    ap.add_argument("--skew", default="uniform", choices=["uniform", "zipf"])
+    args = ap.parse_args()
+
+    t_path, s_path = gen_data(args.convs, args.avg_turns, args.skew)
+    results = {m: {"runs": []} for m in ("local[8]", "local[32]")}
+    # interleave masters so box-level noise (page cache, thermal) spreads evenly
+    for i in range(args.trials):
+        for master in ("local[8]", "local[32]"):
+            r = run_once(master, t_path, s_path)
+            print(master, "trial", i, r)
+            results[master]["runs"].append(r)
+    for master, res in results.items():
+        med_sec = statistics.median(r["sec"] for r in res["runs"])
+        rows = res["runs"][0]["rows"]
+        res.update(rows=rows, median_sec=med_sec, turns_per_sec=round(rows / med_sec, 1))
+    thr8 = results["local[8]"]["turns_per_sec"]
+    thr32 = results["local[32]"]["turns_per_sec"]
+    results["scaling_efficiency"] = round((thr32 / thr8) / 4.0, 3)
+    os.makedirs(os.path.join(REPO, "bench"), exist_ok=True)
+    with open(os.path.join(REPO, "bench", "scaling_results.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps({
+        "thr_8": thr8, "thr_32": thr32,
+        "scaling_efficiency": results["scaling_efficiency"],
+    }))
+
+
+if __name__ == "__main__":
+    main()

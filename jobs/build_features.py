@@ -1,0 +1,114 @@
+"""spark-submit entry point: the flagship PIT feature build as a batch job.
+
+    spark-submit --master local[8] --py-files dist/pitfeat.zip \
+        jobs/build_features.py --transcripts T.parquet --snapshots S.parquet \
+        --out OUT_DIR [--resume RUN_ID] [--strategy cogroup|merge] [--count-only]
+
+Reads transcripts + feature snapshots, runs as-of join -> windowed features ->
+min-max normalize (degenerate pruning) -> vector assembly, writes the feature
+table (or just counts with --count-only for benchmarking), wrapping each stage
+in resume_or_compute when --resume is given (SURVEY.md S3/S4). Prints one JSON
+line with rows, seconds, and turns/sec.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+from pitfeat.config import PitfeatConfig
+from pitfeat.checkpoint import resume_or_compute
+from pitfeat.pipeline import Pipeline
+
+
+def build(spark: SparkSession, args, cfg: PitfeatConfig):
+    p = (
+        Pipeline.from_transcripts(spark, args.transcripts, cfg)
+        .asof_snapshots(args.snapshots)
+        .with_gap()
+        .rolling("gap_s", ["mean", "max"], window=cfg.rolling_turns)
+        .cumulative_tools()
+        .sessionize()
+        .normalize(prune=True)
+        .assemble()
+    )
+    # output contract (SURVEY.md §1.2): (conv_id, turn_idx, ts, features).
+    # Projecting here lets Catalyst prune text/role/tool out of the scan AND
+    # out of the as-of union sort — the sort payload drops ~3x
+    p.df = p.df.select("conv_id", "turn_idx", "ts", "features")
+    return p
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--transcripts", required=True)
+    ap.add_argument("--snapshots", required=True)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--resume", default=None, help="run id for checkpoint resume")
+    ap.add_argument("--ckpt-root", default="/tmp/pitfeat_ckpt")
+    ap.add_argument("--strategy", default="window", choices=["window", "cogroup", "merge"])
+    ap.add_argument("--count-only", action="store_true")
+    ap.add_argument("--warmup", action="store_true",
+                    help="run the pipeline once untimed first (JIT/codegen warmup) "
+                         "so the timed run measures steady-state throughput — the "
+                         "regime that matters at 10^12-turn scale")
+    args = ap.parse_args(argv)
+
+    cfg = PitfeatConfig(asof_strategy=args.strategy)
+    spark = SparkSession.builder.appName("pitfeat-build-features").getOrCreate()
+    for k, v in {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    }.items():
+        spark.conf.set(k, v)
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.warmup and not args.resume:
+        build(spark, args, cfg).df.count()
+
+    t0 = time.perf_counter()
+    if args.resume:
+        ckpt = os.path.join(args.ckpt_root, args.resume, "features")
+        df, resumed = resume_or_compute(
+            spark,
+            ckpt,
+            "features",
+            cfg.config_hash(),
+            lambda: build(spark, args, cfg).df,
+            inputs=[args.transcripts, args.snapshots],
+        )
+    else:
+        df, resumed = build(spark, args, cfg).df, False
+
+    if args.out and not args.count_only:
+        df.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+    else:
+        n = df.count()
+    dt = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "rows": n,
+                "sec": round(dt, 3),
+                "turns_per_sec": round(n / dt, 1),
+                "resumed": resumed,
+                "strategy": args.strategy,
+                "master": spark.sparkContext.master,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -14,7 +14,7 @@ from dataclasses import asdict, dataclass, field
 @dataclass(frozen=True)
 class PitfeatConfig:
     # --- as-of join (J1/J2) ---
-    asof_strategy: str = "cogroup"  # "cogroup" (per-key applyInPandas) | "merge" (range-partitioned streaming merge)
+    asof_strategy: str = "window"  # "window" (pure-JVM union-tag ffill, DEFAULT) | "cogroup" (bucketed applyInPandas binary search) | "merge" (streaming mapInPandas merge)
     asof_allow_exact: bool = True  # snap_ts <= ts when True, strict < when False
     asof_tolerance_s: float | None = None  # max staleness in seconds; None = unbounded
     salt_buckets: int = 0  # 0 = no salting; >0 = replicate right side x B (J2)

@@ -29,14 +29,19 @@ _P = (1 << 31) - 1
 
 
 def _shingles(text_col, n: int = 3):
-    """Word n-gram shingle array (distinct) from a text column."""
+    """Word n-gram shingle array from a text column.
+
+    NOT deduplicated: minhash is duplicate-insensitive (min over a multiset ==
+    min over its set) and array_intersect/array_union already use set
+    semantics for Jaccard — while Spark's array_distinct is O(len^2) and
+    dominated the whole dedup pipeline when applied here."""
     toks = F.split(F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " "), " ")
     cnt = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
     )
-    return F.array_distinct(F.when(cnt >= n, grams).otherwise(F.array(F.concat_ws(" ", toks))))
+    return F.when(cnt >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
 def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
@@ -51,24 +56,62 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return h.join(keep, ["__fp", id_col], "left_semi").drop("__fp")
 
 
+def _perm_coeffs(num_hashes: int, seed: int):
+    a = [((seed * 2654435761 + k * 40503) % _P) or 1 for k in range(num_hashes)]
+    b = [(seed * 97 + k * 1610612741) % _P for k in range(num_hashes)]
+    return a, b
+
+
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", num_hashes: int = 32, shingle_n: int = 3, seed: int = 42
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+    as_array: bool = False,
 ) -> DataFrame:
     """K minhash values per doc: min over shingles of (a*h + b) mod P per
-    permutation — all inside one Catalyst transform/aggregate chain."""
+    permutation. Shingle hashing stays in Catalyst (xxhash64); the K-way
+    min reduction runs as ONE Arrow-batched numpy kernel (flatten the ragged
+    hash arrays, affine-transform all K permutations vectorized, segment-min
+    with np.minimum.reduceat) — measured ~3x faster than K stacked Catalyst
+    array transforms and the per-row work is pure C either way."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    av, bv = _perm_coeffs(num_hashes, seed)
+    a_arr = np.asarray(av, dtype=np.int64)[:, None]
+    b_arr = np.asarray(bv, dtype=np.int64)[:, None]
+
+    def mh_kernel(hashes):
+        lens = hashes.str.len().to_numpy()
+        if len(lens) == 0:
+            return pd.Series([], dtype=object)
+        flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in hashes])
+        # (K, n_flat): products stay < 2^62 because h, a < 2^31
+        vals = (flat[None, :] * a_arr + b_arr) % _P
+        offsets = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        mins = np.minimum.reduceat(vals, offsets, axis=1)  # (K, n_docs)
+        if (lens == 0).any():  # shingles are never empty in practice
+            mins[:, lens == 0] = 0
+        return pd.Series(list(mins.T))
+
+    # set annotations eagerly: this module uses postponed annotation
+    # evaluation, which pandas_udf's hint inspection can't resolve
+    mh_kernel.__annotations__ = {"hashes": pd.Series, "return": pd.Series}
+    mh_udf = pandas_udf(mh_kernel, "array<long>")
+
     out = with_shingles(df, text_col, shingle_n)
     hashes = out.withColumn(
         "__h", F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
     )
-    sig_cols = []
-    for k in range(num_hashes):
-        a = (seed * 2654435761 + k * 40503) % _P or 1
-        b = (seed * 97 + k * 1610612741) % _P
-        mh = F.array_min(
-            F.transform("__h", lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P)))
-        )
-        sig_cols.append(mh.alias(f"mh_{k}"))
-    return hashes.select(*df.columns, "shingles", *sig_cols)
+    sig = hashes.withColumn("__sig", mh_udf(F.col("__h")))
+    if as_array:
+        return sig.select(*df.columns, "shingles", "__sig")
+    sig_cols = [F.element_at("__sig", k + 1).alias(f"mh_{k}") for k in range(num_hashes)]
+    return sig.select(*df.columns, "shingles", *sig_cols)
 
 
 def minhash_lsh_pairs(
@@ -87,30 +130,44 @@ def minhash_lsh_pairs(
     over shingle sets via array_intersect/union sizes (JVM-side).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, num_hashes, shingle_n, seed)
+    sig = minhash_signatures(
+        df, text_col, num_hashes, shingle_n, seed, as_array=True
+    )
+    # band hash = xxhash64 over the band's slice of the signature array
+    # (single array column; avoids fanning the signature out to K columns)
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("bh"),
+                F.xxhash64(F.slice("__sig", b * rows_per_band + 1, rows_per_band)).alias("bh"),
             )
             for b in range(bands)
         ]
     )
-    banded = sig.select(
-        F.col(id_col), F.col("shingles"), F.explode(band_structs).alias("bb")
-    ).select(id_col, "shingles", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"), "band", "bh"
+    # two-phase: candidate ids from slim (id, band, bh) rows — the shingle
+    # arrays never ride through the xB band explode/shuffle — then join the
+    # shingle sets back only for the (much smaller) candidate pair set.
+    # The signature stage is materialized ONCE: self-joins would otherwise
+    # recompute the shingle+hash+minhash subtree for every join branch
+    # (measured 4-6x recompute); at cluster scale this is the standard
+    # "write the signature table first" step.
+    sig = sig.select(F.col(id_col), "shingles", "__sig").persist()
+    sig.count()
+    shingle_tbl = sig.select(F.col(id_col), F.col("shingles"))
+    banded = sig.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"), "band", "bh"
-    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bh")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bh")
     cand = (
         a.join(b, ["band", "bh"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = (
+        cand.join(shingle_tbl.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
+        .join(shingle_tbl.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")

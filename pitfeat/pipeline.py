@@ -116,6 +116,10 @@ class Pipeline:
     # ---- A2-A4 ----
     def normalize(self, prune: bool | None = None) -> "Pipeline":
         prune = self.cfg.prune_degenerate if prune is None else prune
+        # the stats pass is a separate action that recomputes the upstream
+        # plan; with the pure-JVM window as-of that recompute is cheaper than
+        # persisting the wide frame (measured), and at cluster scale a
+        # checkpoint (S3/S4) is the right cut point instead
         stats = compute_minmax(self.df, self.feature_cols)
         df, cols = (prune_degenerate(self.df, stats) if prune else (self.df, list(self.feature_cols)))
         df = normalize_minmax(df, stats, cols)

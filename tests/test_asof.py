@@ -30,7 +30,7 @@ def _assert_matches_oracle(spark_out: pd.DataFrame, oracle: pd.DataFrame):
         )
 
 
-@pytest.mark.parametrize("strategy", ["cogroup", "merge"])
+@pytest.mark.parametrize("strategy", ["window", "cogroup", "merge"])
 @pytest.mark.parametrize("allow_exact", [True, False])
 def test_asof_matches_merge_asof(
     transcripts, snapshots, transcripts_pd, snapshots_pd, strategy, allow_exact
@@ -42,7 +42,7 @@ def test_asof_matches_merge_asof(
     _assert_matches_oracle(out, oracle)
 
 
-@pytest.mark.parametrize("strategy", ["cogroup", "merge"])
+@pytest.mark.parametrize("strategy", ["window", "cogroup", "merge"])
 def test_asof_tolerance(transcripts, snapshots, transcripts_pd, snapshots_pd, strategy):
     out = _collect_sorted(
         asof_join(transcripts, snapshots, tolerance_s=120.0, strategy=strategy)
@@ -57,7 +57,7 @@ def test_asof_salted_equals_unsalted(transcripts, snapshots):
     pd.testing.assert_frame_equal(base, salted)
 
 
-@pytest.mark.parametrize("strategy", ["cogroup", "merge"])
+@pytest.mark.parametrize("strategy", ["window", "cogroup", "merge"])
 def test_zero_temporal_leakage(transcripts, snapshots, strategy):
     """No output row may carry a snapshot from its future; and deleting the
     future must not change any feature (SURVEY.md §5 item 2)."""
@@ -97,6 +97,7 @@ def test_no_row_python_in_plan(transcripts, snapshots):
     for strategy, node in [
         ("cogroup", "FlatMapCoGroupsInPandas"),
         ("merge", "MapInPandas"),
+        ("window", "Window"),
     ]:
         plan = asof_join(transcripts, snapshots, strategy=strategy)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
