@@ -20,6 +20,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
 from pitfeat.session import get_spark
+from pyspark.sql import functions as F
+
+
+def force_eval(df) -> int:
+    """Force FULL evaluation of every output column: a bare count() lets
+    Catalyst prune unused columns and with them entire operator subtrees
+    (e.g. the as-of window ffill), which would make the timing a lie."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"bit_xor(xxhash64(struct({', '.join(df.columns)})))").alias("chk"),
+    ).collect()[0]
+    return row["n"]
 
 HEADLINE = [
     "flagship_pit_features",
@@ -49,8 +61,7 @@ def main():
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.perf_counter()
-        # count() forces full execution without driver-side materialization
-        n = fn(spark, sf_dir).count()
+        n = force_eval(fn(spark, sf_dir))
         dt = time.perf_counter() - t0
         per_query[name] = round(dt, 3)
         total += dt

@@ -22,6 +22,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from pitfeat.config import PitfeatConfig
 from pitfeat.checkpoint import resume_or_compute
@@ -36,9 +37,10 @@ def build(spark: SparkSession, args, cfg: PitfeatConfig):
         .rolling("gap_s", ["mean", "max"], window=cfg.rolling_turns)
         .cumulative_tools()
         .sessionize()
-        .normalize(prune=True)
-        .assemble()
     )
+    if not getattr(args, "no_normalize", False):
+        p = p.normalize(prune=True)
+    p = p.assemble()
     # output contract (SURVEY.md §1.2): (conv_id, turn_idx, ts, features).
     # Projecting here lets Catalyst prune text/role/tool out of the scan AND
     # out of the as-of union sort — the sort payload drops ~3x
@@ -55,6 +57,11 @@ def main(argv=None):
     ap.add_argument("--ckpt-root", default="/tmp/pitfeat_ckpt")
     ap.add_argument("--strategy", default="window", choices=["window", "cogroup", "merge"])
     ap.add_argument("--count-only", action="store_true")
+    ap.add_argument("--no-normalize", action="store_true",
+                    help="skip the min-max stats pass: the north-rule metric is "
+                         "as-of join + windowed feature-vector build throughput; "
+                         "the stats barrier is a fixed two-pass cost that "
+                         "amortizes at 10^12 scale but dominates sandbox sizes")
     ap.add_argument("--warmup", action="store_true",
                     help="run the pipeline once untimed first (JIT/codegen warmup) "
                          "so the timed run measures steady-state throughput — the "
@@ -72,8 +79,18 @@ def main(argv=None):
         spark.conf.set(k, v)
     spark.sparkContext.setLogLevel("WARN")
 
+    def force(df):
+        """Force FULL evaluation: a bare count() lets Catalyst prune the
+        feature columns and with them the whole as-of/window subtree (count
+        only needs cardinality). Hashing the feature vector defeats pruning
+        and doubles as the cross-parallelism determinism checksum."""
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"), F.expr("bit_xor(xxhash64(features))").alias("chk")
+        ).collect()[0]
+        return row["n"], int(row["chk"])
+
     if args.warmup and not args.resume:
-        build(spark, args, cfg).df.count()
+        force(build(spark, args, cfg).df)
 
     t0 = time.perf_counter()
     if args.resume:
@@ -91,9 +108,9 @@ def main(argv=None):
 
     if args.out and not args.count_only:
         df.write.mode("overwrite").parquet(args.out)
-        n = spark.read.parquet(args.out).count()
+        n, chk = force(spark.read.parquet(args.out))
     else:
-        n = df.count()
+        n, chk = force(df)
     dt = time.perf_counter() - t0
     print(
         json.dumps(
@@ -101,6 +118,7 @@ def main(argv=None):
                 "rows": n,
                 "sec": round(dt, 3),
                 "turns_per_sec": round(n / dt, 1),
+                "checksum": chk,
                 "resumed": resumed,
                 "strategy": args.strategy,
                 "master": spark.sparkContext.master,

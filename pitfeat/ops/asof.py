@@ -144,19 +144,24 @@ def _asof_window(
     pass_left = [c for c in left_cols if c not in (on, left_ts)]
     right_tag, left_tag = (0, 1) if allow_exact else (1, 0)
 
+    # The snapshot row is forward-filled as ONE struct, not column-by-column:
+    # per-column last(ignorenulls) would resurrect an older snapshot's value
+    # through a newer snapshot's legitimate NULL. The struct is non-null
+    # exactly when a right row exists, so the whole row carries atomically.
+    rv_type = T.StructType([T.StructField(c, typ[c], True) for c in right_val_cols])
     lt = left.select(
         F.col(on),
         F.col(left_ts).alias("__t"),
         F.lit(left_tag).alias("__tag"),
         *[F.col(c) for c in pass_left],
-        *[F.lit(None).cast(typ[c]).alias(c) for c in right_val_cols],
+        F.lit(None).cast(rv_type).alias("__rv"),
     )
     rt = right.select(
         F.col(on),
         F.col(right_ts).alias("__t"),
         F.lit(right_tag).alias("__tag"),
         *[F.lit(None).cast(typ[c]).alias(c) for c in pass_left],
-        *[F.col(c) for c in right_val_cols],
+        F.struct(*[F.col(c) for c in right_val_cols]).alias("__rv"),
     )
     keys = [on]
     if salt_buckets > 0:
@@ -169,7 +174,7 @@ def _asof_window(
             .withColumn("__salt", F.col("__salt").cast("int"))
         )
         keys = [on, "__salt"]
-    cols_order = keys + ["__t", "__tag"] + pass_left + right_val_cols
+    cols_order = keys + ["__t", "__tag"] + pass_left + ["__rv"]
     unioned = lt.select(*cols_order).unionByName(rt.select(*cols_order))
 
     w = (
@@ -182,27 +187,23 @@ def _asof_window(
         "__t",
         "__tag",
         *pass_left,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_val_cols],
+        F.last("__rv", ignorenulls=True).over(w).alias("__rv"),
     )
     out = filled.where(F.col("__tag") == left_tag)
     if tolerance_s is not None:
         tol_us = int(tolerance_s * 1_000_000)
         stale = (
             F.unix_micros(F.col("__t").cast("timestamp"))
-            - F.unix_micros(F.col(right_ts).cast("timestamp"))
+            - F.unix_micros(F.col("__rv")[right_ts].cast("timestamp"))
         ) > tol_us
-        out = out.select(
-            *keys,
-            "__t",
-            *pass_left,
-            *[
-                F.when(stale, F.lit(None).cast(typ[c])).otherwise(F.col(c)).alias(c)
-                for c in right_val_cols
-            ],
-        )
-    return out.withColumnRenamed("__t", left_ts).select(
-        *[f.name for f in out_schema.fields]
+        out = out.withColumn("__rv", F.when(stale, F.lit(None).cast(rv_type)).otherwise(F.col("__rv")))
+    out = out.select(
+        *keys,
+        F.col("__t").alias(left_ts),
+        *pass_left,
+        *[F.col("__rv")[c].alias(c) for c in right_val_cols],
     )
+    return out.select(*[f.name for f in out_schema.fields])
 
 
 # --------------------------------------------------------------------------
@@ -370,9 +371,23 @@ def _asof_merge(
             else:
                 work = pdf[[on] + fill_cols]
                 inj = 0
-            filled = work.groupby(on, sort=False)[fill_cols].ffill().iloc[inj:].reset_index(drop=True)
+            # row-ATOMIC forward fill: ffill an index into the right rows and
+            # gather whole rows — per-column ffill would resurrect an older
+            # snapshot's value through a newer snapshot's legitimate NULL
+            is_right_work = np.ones(len(work), dtype=bool)
+            is_right_work[inj:] = ~is_left
+            ridx = np.where(is_right_work, np.arange(len(work), dtype=float), np.nan)
+            filled_ridx = (
+                pd.Series(ridx).groupby(work[on].to_numpy(), sort=False).ffill().iloc[inj:].reset_index(drop=True)
+            )
             res = pdf.copy()
-            res[fill_cols] = filled
+            have = filled_ridx.notna().to_numpy()
+            safe_idx = filled_ridx.fillna(0).astype(int).to_numpy()
+            gathered = work[fill_cols].iloc[safe_idx].reset_index(drop=True)
+            for c in fill_cols:
+                col = gathered[c].copy()
+                col[~have] = pd.NaT if str(col.dtype).startswith("datetime") else np.nan
+                res[c] = col
             # update carried state from the last snapshot row per key (vectorized
             # tail-per-group; O(distinct keys) dict update, not O(rows))
             snaps = pdf.loc[~is_left, [on] + fill_cols]
