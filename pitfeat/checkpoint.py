@@ -65,6 +65,14 @@ def write_checkpoint(
     partition_by: list[str] | None = None,
 ) -> dict:
     data_dir = os.path.join(ckpt_dir, "data")
+    # Invalidate FIRST: a crash mid-rewrite must leave the checkpoint absent,
+    # not a stale marker+lineage validating over torn data. Removing the
+    # marker before any byte of data/ is touched restores the documented
+    # "crash => checkpoint treated as absent" invariant.
+    for stale in (MARKER, LINEAGE):
+        p = os.path.join(ckpt_dir, stale)
+        if os.path.exists(p):
+            os.remove(p)
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)

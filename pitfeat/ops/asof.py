@@ -21,13 +21,22 @@ Two physical strategies, both vectorized (no per-row Python anywhere):
     sides are tagged and unioned, ``repartitionByRange(key)`` +
     ``sortWithinPartitions(key, ts, tag)``, then a streaming ``mapInPandas``
     forward-fills snapshot values down the sorted stream (pandas groupby-ffill,
-    Cython-vectorized) carrying per-key state across Arrow batches. Memory is
-    bounded by the Arrow batch size — not by key cardinality or key heat — so
-    this is the robust path for pathologically hot keys at 100TB scale.
+    Cython-vectorized) carrying state across Arrow batches. The sorted stream
+    is key-contiguous, so carried state is evicted down to the single key that
+    can span a batch boundary: memory is bounded by the Arrow batch size plus
+    ONE carried row — not by key cardinality or key heat — so this is the
+    robust path for pathologically hot keys at 100TB scale.
 
 Tie rule: with ``allow_exact=True`` an equal-timestamp snapshot matches
 (searchsorted ``side='right'``; merge sorts right-before-left at equal ts).
 With ``allow_exact=False`` it does not (``side='left'``; left-before-right).
+
+Duplicate right rows sharing (key, right_ts): the winner is the row with the
+GREATEST value tuple (lexicographic over the right value columns, nulls
+first) — every strategy appends the value columns to its right-side sort
+keys, so the choice is deterministic and identical across window/cogroup/
+merge, instead of "whatever the unstable shuffle order produced". Callers
+wanting a different resolution should pre-dedup the right side.
 
 Oracle parity: semantics match ``pandas.merge_asof(direction='backward',
 allow_exact_matches=..., tolerance=...)`` and DuckDB ``ASOF JOIN`` — both are
@@ -177,9 +186,12 @@ def _asof_window(
     cols_order = keys + ["__t", "__tag"] + pass_left + ["__rv"]
     unioned = lt.select(*cols_order).unionByName(rt.select(*cols_order))
 
+    # __rv as the final sort key: right rows tied on (key, ts) order by their
+    # value struct (Spark structs are orderable), so last(ignorenulls) picks
+    # the greatest value tuple — deterministic, and free (no extra shuffle)
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__t").asc(), F.col("__tag").asc())
+        .orderBy(F.col("__t").asc(), F.col("__tag").asc(), F.col("__rv").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(
@@ -255,7 +267,12 @@ def _asof_cogroup(
         l["__lts"] = pd.to_datetime(l[left_ts]).astype("datetime64[ns]")
         r["__rts"] = pd.to_datetime(r[right_ts]).astype("datetime64[ns]")
         l = l.sort_values("__lts", kind="mergesort")
-        r = r.sort_values("__rts", kind="mergesort")
+        # value columns as trailing sort keys: merge_asof keeps the LAST
+        # duplicate at equal ts, so the greatest value tuple wins — matching
+        # the window/merge strategies (nulls first == Spark asc default)
+        r = r.sort_values(
+            ["__rts"] + right_val_cols, kind="mergesort", na_position="first"
+        )
         kw = {}
         if tol_ns is not None:
             kw["tolerance"] = pd.Timedelta(tol_ns, unit="ns")
@@ -349,12 +366,22 @@ def _asof_merge(
     )
     cols_order = [on, "__t", "__tag"] + pass_left + right_val_cols
     unioned = lt.select(*cols_order).unionByName(rt.select(*cols_order))
-    staged = unioned.repartitionByRange(F.col(on)).sortWithinPartitions(on, "__t", "__tag")
+    # value columns as trailing sort keys => among right rows tied on
+    # (key, ts) the ffill takes the last = greatest value tuple (see module
+    # docstring); also makes the partition stream fully deterministic
+    staged = unioned.repartitionByRange(F.col(on)).sortWithinPartitions(
+        on, "__t", "__tag", *right_val_cols
+    )
 
     out_names = [f.name for f in out_schema.fields]
 
     def stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        state: dict = {}  # key -> dict of fill_cols from the key's last snapshot row
+        # key -> the key's last snapshot row. After sortWithinPartitions the
+        # partition stream is key-contiguous, so ONLY the final key of each
+        # Arrow batch can continue into the next batch: state is evicted down
+        # to that single key at the end of every batch, making worker memory
+        # O(batch size + 1 carried row) — independent of key cardinality.
+        state: dict = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -388,12 +415,19 @@ def _asof_merge(
                 col = gathered[c].copy()
                 col[~have] = pd.NaT if str(col.dtype).startswith("datetime") else np.nan
                 res[c] = col
-            # update carried state from the last snapshot row per key (vectorized
-            # tail-per-group; O(distinct keys) dict update, not O(rows))
-            snaps = pdf.loc[~is_left, [on] + fill_cols]
-            if len(snaps):
-                for rec in snaps.groupby(on, sort=False).tail(1).to_dict("records"):
-                    state[rec[on]] = rec
+            # carry forward ONLY the batch's final key (key-contiguous stream:
+            # no other key reappears later); its last snapshot row may be in
+            # this batch or already in carried state
+            last_key = pdf[on].iloc[-1]
+            snaps_last = pdf.loc[
+                (~is_left) & (pdf[on].to_numpy() == last_key), [on] + fill_cols
+            ]
+            if len(snaps_last):
+                state = {last_key: snaps_last.iloc[-1].to_dict()}
+            elif last_key in state:
+                state = {last_key: state[last_key]}
+            else:
+                state = {}
             res = res.loc[is_left].reset_index(drop=True)
             if tol_ns is not None and len(res):
                 lts = _ts_to_i8(res["__t"])

