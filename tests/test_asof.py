@@ -102,3 +102,23 @@ def test_no_row_python_in_plan(transcripts, snapshots):
         plan = asof_join(transcripts, snapshots, strategy=strategy)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert node in plan
+
+
+def test_duplicate_right_rows_deterministic(spark):
+    """Duplicate right rows sharing (key, right_ts): every strategy must pick
+    the same winner — the greatest value tuple — not shuffle-order luck."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [("c1", dt.datetime(2024, 1, 1, 13, 0, 0))], "conv_id string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("c1", t0, 10.0), ("c1", t0, 30.0), ("c1", t0, 20.0)],
+        "conv_id string, snap_ts timestamp, val double",
+    )
+    winners = {
+        s: asof_join(left, right, strategy=s).collect()[0]["val"]
+        for s in ("window", "cogroup", "merge")
+    }
+    assert winners == {"window": 30.0, "cogroup": 30.0, "merge": 30.0}

@@ -1,0 +1,64 @@
+"""Physical plan-shape invariants (SURVEY.md §4) and resource hygiene.
+
+These tests pin the *plan*, not the result: the flagship composition must
+keep its shuffle count bounded, filters must reach the parquet scan, and no
+operator may leave cached blocks behind after its result is materialized.
+"""
+
+import pyspark.sql.functions as F
+
+from pitfeat.ops.asof import asof_join
+from pitfeat.ops.windows import rolling, sessionize, with_gap
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_composition_exchange_count(transcripts, snapshots):
+    """SURVEY §4 invariant (3): as-of + stacked windows + projection stay
+    within 3 exchanges (as-of union partitioning, reused by every window that
+    partitions on the same key; no per-window reshuffle)."""
+    j = asof_join(transcripts, snapshots)
+    out = with_gap(j)
+    out = rolling(out, "gap_s", ["mean", "max"], window=5)
+    out = sessionize(out)
+    out = out.select("conv_id", "turn_idx", "ts", "gap_s_roll5_mean", "session_id")
+    n_exchanges = _plan(out).count("Exchange")
+    assert n_exchanges <= 3, f"flagship composition plans {n_exchanges} exchanges"
+
+
+def test_filter_pushdown_reaches_scan(spark, transcripts, tmp_path):
+    """SURVEY §4 invariant (2): predicates on a parquet scan appear in
+    PushedFilters (Catalyst pushdown), never as a post-scan-only Filter."""
+    p = str(tmp_path / "t.parquet")
+    transcripts.write.mode("overwrite").parquet(p)
+    df = (
+        spark.read.parquet(p)
+        .where((F.col("turn_idx") > 5) & (F.col("role") == "user"))
+        .select("conv_id", "turn_idx")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), f"empty PushedFilters in: {plan[:500]}"
+    # column pruning: the scan must not read the text payload
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "text" not in read_schema
+
+
+def test_no_persisted_rdds_leak(spark, transcripts, snapshots):
+    """VERDICT r1 #6: operators materialize through written cut points, not
+    persist(); nothing may stay pinned in executor memory after the call."""
+    from pitfeat.ops.dedup import minhash_lsh_pairs
+
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("unique document text number "), F.col("id")).alias("text"),
+    )
+    minhash_lsh_pairs(docs, num_hashes=16, bands=4).count()
+    j = asof_join(transcripts, snapshots)
+    j.count()
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after == before, f"leaked persisted RDDs: {after - before}"

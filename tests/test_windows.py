@@ -158,3 +158,38 @@ def test_single_window_exchange(transcripts):
     t = W.cumulative_tool_calls(t)
     t = W.sessionize(t)
     assert n_ex(t) - base <= 1
+
+
+def test_prev_session_features(transcripts):
+    """J6 self as-of: every turn carries the PREVIOUS session's summary —
+    never its own session's (strict-inequality leakage guard)."""
+    import pandas as pd
+
+    from pitfeat.ops.windows import prev_session_features, sessionize
+
+    out = prev_session_features(transcripts, gap_s=1800).toPandas()
+    lab = sessionize(transcripts, gap_s=1800).toPandas()
+    out = out.merge(
+        lab[["conv_id", "turn_idx", "session_no"]], on=["conv_id", "turn_idx"]
+    )
+    summ = (
+        lab.groupby(["conv_id", "session_no"])
+        .agg(n_turns=("turn_idx", "size"), end=("ts", "max"))
+        .reset_index()
+    )
+    exp = summ.rename(columns={"session_no": "prev_no"})
+    exp["session_no"] = exp["prev_no"] + 1
+    merged = out.merge(exp, on=["conv_id", "session_no"], how="left")
+
+    first = merged["session_no"] == 1
+    assert first.any() and merged.loc[first, "prev_n_turns"].isna().all()
+    later = ~first
+    assert later.any()
+    pd.testing.assert_series_equal(
+        merged.loc[later, "prev_n_turns"].astype("int64"),
+        merged.loc[later, "n_turns"].astype("int64"),
+        check_names=False,
+    )
+    # leakage: the attached summary always ends strictly before the turn
+    m = merged["prev_session_end"].notna()
+    assert (merged.loc[m, "prev_session_end"] < merged.loc[m, "ts"]).all()
