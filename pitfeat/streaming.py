@@ -81,6 +81,206 @@ def stream_rolling(
     )
 
 
+def _pit_state_kernel(pdf, carried, key_name, extras, feats, max_hist=128):
+    """Shared per-(key, micro-batch) kernel for both stateful impls.
+
+    State is the conv's snapshot HISTORY (last ``max_hist`` snapshots as
+    parallel arrays), not just the newest snapshot: a turn is matched by
+    binary search (``np.searchsorted``, side='right' == allow_exact) against
+    the merged carried+batch history, so ``snap_ts <= ts`` holds under ANY
+    micro-batch interleaving — a turn arriving after a newer snapshot was
+    admitted still gets its correct older snapshot, and never a future one
+    (zero temporal leakage, the same invariant as batch J1). Eviction
+    (``max_hist``) only ever causes a very-late turn to match nothing —
+    conservative, never leaky. Returns ``(emitted_turn_rows | None,
+    new_state_tuple | None)``. All numpy; never a per-row Python loop."""
+    import numpy as np
+
+    snap_cols = ["snap_t_us"] + list(feats)
+    is_snap = pdf["is_snap"].to_numpy() == 1
+    snaps = pdf.loc[is_snap, snap_cols].to_numpy(dtype=float)
+    if carried is not None:
+        hist = np.column_stack([np.asarray(x, dtype=float) for x in carried])
+        snaps = np.vstack([hist, snaps]) if len(snaps) else hist
+    if len(snaps):
+        # stable sort: at equal snap_ts the later arrival wins (matches the
+        # batch strategies' greatest-tuple determinism closely enough for
+        # unique-(key, ts) right sides, which J1 documents as the contract)
+        snaps = snaps[np.argsort(snaps[:, 0], kind="mergesort")]
+    turns = pdf.loc[~is_snap]
+    # the grouping key is NOT auto-prepended to stateful-op output; emit it
+    # from the input rows (present in every pdf)
+    out = turns[[key_name, *extras, "t_us"]].reset_index(drop=True)
+    gathered = np.full((len(out), len(snap_cols)), np.nan)
+    if len(snaps) and len(out):
+        idx = np.searchsorted(snaps[:, 0], turns["t_us"].to_numpy(dtype="int64"), side="right") - 1
+        have = idx >= 0
+        gathered[have] = snaps[idx[have]]
+    for i, c in enumerate(snap_cols):
+        out[c] = gathered[:, i]
+    out["snap_t_us"] = out["snap_t_us"].astype("Int64")
+    new_state = None
+    if is_snap.any():  # batch extended the history
+        kept = snaps[-max_hist:]
+        new_state = ([int(x) for x in kept[:, 0]],) + tuple(
+            [float(v) for v in kept[:, i]] for i in range(1, len(snap_cols))
+        )
+    return (out if len(out) else None), new_state
+
+
+def _make_tws_processor(feature_cols, extra_cols, key_col):
+    """StatefulProcessor (transformWithStateInPandas) wrapping the shared
+    kernel with a per-conv ValueState. NOTE: the TWS state server speaks
+    protobuf; on clusters without the ``protobuf`` Python package (like this
+    sandbox) use impl='state' (applyInPandasWithState), which rides the
+    plain Arrow channel and needs nothing extra."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    feats = list(feature_cols)
+    extras = list(extra_cols)
+
+    class Proc(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            sch = "snap_t_us array<long>, " + ", ".join(
+                f"{f} array<double>" for f in feats
+            )
+            self._latest = handle.getValueState("snap_history", sch)
+
+        def handleInputRows(self, key, rows, timer_values):
+            pdf = pd.concat(list(rows), ignore_index=True)
+            carried = self._latest.get() if self._latest.exists() else None
+            out, new_state = _pit_state_kernel(pdf, carried, key_col, extras, feats)
+            if new_state is not None:
+                self._latest.update(new_state)
+            if out is not None:
+                yield out
+
+        def close(self) -> None:
+            pass
+
+    return Proc()
+
+
+def stream_pit_features(
+    turns: DataFrame,
+    snapshots: DataFrame,
+    feature_cols: list[str],
+    key: str = "conv_id",
+    left_ts: str = "ts",
+    right_ts: str = "snap_ts",
+    extra_cols: tuple[str, ...] = ("turn_idx",),
+    impl: str = "state",
+) -> DataFrame:
+    """J1's full streaming form (SURVEY §2.10 custom state): running
+    point-in-time features via a custom stateful operator.
+
+    Both inputs are STREAMS; they are tagged, unioned, and grouped by conv.
+    Per-conv state holds the conv's snapshot HISTORY (last 128 snapshots);
+    each turn binary-searches it for the latest ``snap_ts <= ts``. Matching
+    is therefore exact batch-J1 semantics under ANY micro-batch interleaving
+    of the two streams (verified against asof_join in tests, including a
+    trickled multi-batch run) — never a future snapshot, zero temporal
+    leakage. The two bounded caveats: a snapshot evicted from the 128-deep
+    history can no longer match an extremely late turn (missed match, never
+    a wrong one), and a turn already emitted is not retroactively rewritten
+    when an older snapshot arrives later (append-mode semantics).
+
+    ``impl``:
+    - ``"state"`` (default): ``applyInPandasWithState`` + GroupState — plain
+      Arrow channel, runs anywhere PySpark runs. Tested in this sandbox.
+    - ``"tws"``: ``transformWithStateInPandas`` + ValueState — the Spark-4
+      operator with RocksDB-backed per-variable state. Its state server
+      requires the ``protobuf`` Python package (absent in this sandbox, so
+      this path is exercised only on clusters that have it) plus
+      ``spark.sql.streaming.stateStore.providerClass =
+      org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider``.
+
+    Both impls share one numpy kernel (``_pit_state_kernel``), so semantics
+    are identical. Timestamps travel as epoch-microsecond longs through the
+    state store and are rebuilt at the edge — immune to tz/NaT round-trip
+    surprises.
+    """
+    extras = list(extra_cols)
+    extra_types = {
+        f.name: f.dataType.simpleString()
+        for f in turns.schema.fields
+        if f.name in extras
+    }
+    lt = turns.select(
+        F.col(key),
+        F.unix_micros(F.col(left_ts).cast("timestamp")).alias("t_us"),
+        F.lit(0).alias("is_snap"),
+        *[F.col(c) for c in extras],
+        F.lit(None).cast("long").alias("snap_t_us"),
+        *[F.lit(None).cast("double").alias(f) for f in feature_cols],
+    )
+    rt = snapshots.select(
+        F.col(key),
+        F.unix_micros(F.col(right_ts).cast("timestamp")).alias("t_us"),
+        F.lit(1).alias("is_snap"),
+        # extras are never emitted for snapshot rows; -1 keeps integer dtypes
+        # intact through the pandas kernel (NaN would float-poison them)
+        *[F.lit(-1).cast(extra_types[c]).alias(c) for c in extras],
+        F.unix_micros(F.col(right_ts).cast("timestamp")).alias("snap_t_us"),
+        *[F.col(f).cast("double") for f in feature_cols],
+    )
+    unioned = lt.unionByName(rt)
+    key_type = next(
+        f.dataType.simpleString() for f in turns.schema.fields if f.name == key
+    )
+    out_schema = (
+        f"{key} {key_type}, "
+        + ", ".join(f"{c} {extra_types[c]}" for c in extras)
+        + ", t_us long, snap_t_us long, "
+        + ", ".join(f"{f} double" for f in feature_cols)
+    )
+    if impl == "tws":
+        proc = _make_tws_processor(feature_cols, extras, key)
+        out = unioned.groupBy(key).transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType=out_schema,
+            outputMode="append",
+            timeMode="none",
+        )
+    elif impl == "state":
+        import pandas as pd
+
+        feats = list(feature_cols)
+        state_schema = "snap_t_us array<long>, " + ", ".join(
+            f"{f} array<double>" for f in feats
+        )
+
+        def fn(group_key, pdfs, state):
+            pdf = pd.concat(list(pdfs), ignore_index=True)
+            carried = state.get if state.exists else None
+            out_pdf, new_state = _pit_state_kernel(pdf, carried, key, extras, feats)
+            if new_state is not None:
+                state.update(new_state)
+            if out_pdf is not None:
+                yield out_pdf
+
+        out = unioned.groupBy(key).applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    else:
+        raise ValueError(f"impl must be 'state' or 'tws', got {impl!r}")
+    return out.select(
+        key,
+        *extras,
+        F.timestamp_micros(F.col("t_us")).alias(left_ts),
+        F.timestamp_micros(F.col("snap_t_us")).alias(right_ts),
+        *feature_cols,
+    )
+
+
 def asof_features_microbatch(snapshots: DataFrame):
     """Returns a foreachBatch-compatible transformation: each micro-batch of
     transcript turns is as-of joined (window strategy, zero leakage) against

@@ -100,3 +100,115 @@ def test_asof_microbatch_equals_batch(spark, transcripts, snapshots, stream_src)
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_stream_pit_features_equals_batch(spark, transcripts, snapshots, tmp_path):
+    """SURVEY §2.10 custom state: running PIT features via
+    transformWithStateInPandas == batch as-of join on the same data."""
+    import numpy as np
+    import pandas as pd
+
+    from pitfeat.ops.asof import asof_join
+    from pitfeat.schema import snapshot_feature_cols
+    from pitfeat.streaming import stream_pit_features
+
+    feats = snapshot_feature_cols()
+    tp, sp = str(tmp_path / "turns"), str(tmp_path / "snaps")
+    transcripts.write.mode("overwrite").parquet(tp)
+    snapshots.write.mode("overwrite").parquet(sp)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    t_s = spark.readStream.schema(spark.read.parquet(tp).schema).parquet(tp)
+    s_s = spark.readStream.schema(spark.read.parquet(sp).schema).parquet(sp)
+    out = stream_pit_features(t_s, s_s, feats)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pit_tws")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    keys = ["conv_id", "turn_idx"]
+    got = (
+        spark.sql("select * from pit_tws")
+        .toPandas()
+        .sort_values(keys)
+        .reset_index(drop=True)
+    )
+    want = (
+        asof_join(transcripts, snapshots)
+        .select(*keys, "ts", "snap_ts", *feats)
+        .toPandas()
+        .sort_values(keys)
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    pd.testing.assert_series_equal(got["snap_ts"], want["snap_ts"], check_names=False)
+    for c in feats:
+        np.testing.assert_allclose(
+            got[c].to_numpy(dtype=float),
+            want[c].to_numpy(dtype=float),
+            equal_nan=True,
+            err_msg=c,
+        )
+
+
+def test_stream_pit_features_state_carries_across_batches(
+    spark, transcripts, snapshots, tmp_path
+):
+    """Turns trickle in one file per micro-batch while all snapshots arrive
+    up front: per-conv state must carry the latest snapshot across batches,
+    reproducing the batch as-of result exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from pitfeat.ops.asof import asof_join
+    from pitfeat.schema import snapshot_feature_cols
+    from pitfeat.streaming import stream_pit_features
+
+    feats = snapshot_feature_cols()
+    tp, sp = str(tmp_path / "turns"), str(tmp_path / "snaps")
+    transcripts.repartition(4).write.mode("overwrite").parquet(tp)
+    snapshots.write.mode("overwrite").parquet(sp)
+    t_s = (
+        spark.readStream.schema(spark.read.parquet(tp).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tp)
+    )
+    s_s = spark.readStream.schema(spark.read.parquet(sp).schema).parquet(sp)
+    out = stream_pit_features(t_s, s_s, feats)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pit_tws_mb")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    assert q.lastProgress is not None
+    keys = ["conv_id", "turn_idx"]
+    got = (
+        spark.sql("select * from pit_tws_mb")
+        .toPandas()
+        .sort_values(keys)
+        .reset_index(drop=True)
+    )
+    want = (
+        asof_join(transcripts, snapshots)
+        .select(*keys, "ts", "snap_ts", *feats)
+        .toPandas()
+        .sort_values(keys)
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    pd.testing.assert_series_equal(got["snap_ts"], want["snap_ts"], check_names=False)
+    for c in feats:
+        np.testing.assert_allclose(
+            got[c].to_numpy(dtype=float),
+            want[c].to_numpy(dtype=float),
+            equal_nan=True,
+            err_msg=c,
+        )
