@@ -38,12 +38,14 @@ HEADLINE = [
     "j1_asof_backward",
     "j1_asof_merge",
     "j2_asof_salted",
+    "j6_prev_session",
     "w3_rolling",
     "w9_sessionize",
     "a1_grouped_agg",
     "a4_minmax_normalize",
     "d2_minhash_lsh",
     "s1_cosine_topk",
+    "s2_lsh_topk",
     "t3_quality",
 ]
 
