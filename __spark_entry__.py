@@ -152,6 +152,9 @@ def _flagship_with_manifest(
     import tempfile
 
     cut = tempfile.mkdtemp(prefix="pitfeat_flagship_cut_")
+    # project to keys + features before the cut: the checkpoint carries only
+    # what the stats pass and final projection read (smaller write AND read)
+    out = out.select("user_id", "event_id", "ts", *feats)
     out.write.mode("overwrite").parquet(cut)
     out = spark.read.parquet(cut)
     stats = compute_minmax(out, feats)
@@ -544,6 +547,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .groupBy("event_type")
         .agg(F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"))
     )
+
+    def a8u(spark, sf):
+        # §2.11 GROUPED_AGG pandas UDAF (true Arrow-batched UDAF, one numpy
+        # reduction per group) — RMS is SQL-expressible so DuckDB can check it
+        from pitfeat.ops.udaf import grouped_rms
+
+        return (
+            _events(spark, sf)
+            .groupBy("event_type")
+            .agg(F.round(grouped_rms()(F.col("value")), 6).alias("rms"))
+        )
+
+    q["a8_rms_udaf"] = a8u
 
     # --- O: sorts / limits / set ops ---
     q["o1_stable_sort"] = lambda spark, sf: (
@@ -1009,6 +1025,11 @@ def oracle_sql() -> dict[str, str]:
 
     o["a8_percentile"] = (
         "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50 "
+        "FROM events GROUP BY event_type"
+    )
+
+    o["a8_rms_udaf"] = (
+        "SELECT event_type, round(sqrt(avg(value * value)), 6) AS rms "
         "FROM events GROUP BY event_type"
     )
 

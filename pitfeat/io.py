@@ -16,16 +16,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pitfeat.schema import TRANSCRIPTS_SCHEMA, assert_schema, snapshots_schema
 
 
-def _read(spark: SparkSession, path_or_table: str, fmt: str) -> DataFrame:
+def _read(spark: SparkSession, path_or_table: str, fmt: str, schema=None) -> DataFrame:
     if fmt == "iceberg":
         return spark.read.format("iceberg").load(path_or_table)
     if fmt == "parquet":
         return spark.read.parquet(path_or_table)
+    if fmt == "csv":
+        # text formats require a DECLARED schema (inference = a full extra
+        # scan, banned at 10^12 rows); timestampFormat covers the ISO-8601
+        # micros our writers emit
+        if schema is None:
+            raise ValueError("csv reads require a declared schema")
+        return (
+            spark.read.schema(schema)
+            .option("header", "true")
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")
+            .csv(path_or_table)
+        )
+    if fmt == "json":
+        if schema is None:
+            raise ValueError("json reads require a declared schema")
+        return spark.read.schema(schema).json(path_or_table)
     raise ValueError(f"unknown table format {fmt!r}")
 
 
 def read_transcripts(spark: SparkSession, path_or_table: str, fmt: str = "parquet") -> DataFrame:
-    df = _read(spark, path_or_table, fmt)
+    df = _read(spark, path_or_table, fmt, TRANSCRIPTS_SCHEMA)
     assert_schema(df, TRANSCRIPTS_SCHEMA, "transcripts")
     return df
 
@@ -33,7 +49,9 @@ def read_transcripts(spark: SparkSession, path_or_table: str, fmt: str = "parque
 def read_snapshots(
     spark: SparkSession, path_or_table: str, fmt: str = "parquet", width: int | None = None
 ) -> DataFrame:
-    df = _read(spark, path_or_table, fmt)
+    from pitfeat.schema import SNAPSHOT_WIDTH
+
+    df = _read(spark, path_or_table, fmt, snapshots_schema(width or SNAPSHOT_WIDTH))
     if width is not None:
         assert_schema(df, snapshots_schema(width), "feature_snapshots")
     return df
