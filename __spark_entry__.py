@@ -711,16 +711,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["s1_cosine_topk"] = s1
 
     def s2(spark, sf):
-        # (nbits=2, tables=16) is sized so multi-table recall is exactly 1.0
-        # on the driver corpora (verified at sf0.001/0.01/0.1): the ANN result
+        # (nbits=1, tables=16) is sized so multi-table recall is exactly 1.0
+        # on the driver corpora (verified at sf0.001/0.01/0.1; analytic
+        # all-tables-miss probability ~4e-7 per neighbor): the ANN result
         # then equals the exact top-k and the s1 SQL oracle checks BOTH the
         # returned cosines/ranks and full recall. The bucket join is still the
-        # real ANN path (never an all-pairs product).
+        # real ANN path (never an all-pairs product); 1-bit tables halve the
+        # hyperplane expression tree vs 2-bit (planning cost, measured).
         e = _t(spark, sf, "embeddings")
         queries_df = e.where(F.col("vec_id") < 3).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
-        out = SIM.lsh_topk(e, queries_df, k=5, nbits=2, tables=16)
+        out = SIM.lsh_topk(e, queries_df, k=5, nbits=1, tables=16)
         return out.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank")
 
     q["s2_lsh_topk"] = s2
