@@ -70,12 +70,19 @@ def minhash_signatures(
     seed: int = 42,
     as_array: bool = False,
 ) -> DataFrame:
-    """K minhash values per doc: min over shingles of (a*h + b) mod P per
-    permutation. Shingle hashing stays in Catalyst (xxhash64); the K-way
-    min reduction runs as ONE Arrow-batched numpy kernel (flatten the ragged
-    hash arrays, affine-transform all K permutations vectorized, segment-min
-    with np.minimum.reduceat) — measured ~3x faster than K stacked Catalyst
-    array transforms and the per-row work is pure C either way."""
+    """K minhash values per doc, via ONE fused Arrow kernel over the raw text:
+    normalize + tokenize with pandas C string ops, token hashing via
+    ``pd.factorize`` + ``pd.util.hash_array`` (each unique token hashed once,
+    C-level, fixed key => deterministic), rolling-polynomial shingle hashes in
+    numpy (row boundaries masked), then K affine permutations + per-row
+    segment-min with ``np.minimum.reduceat``.
+
+    Why fused: Spark evaluates higher-order array functions (``transform``)
+    INTERPRETED, not whole-stage-codegen'd — the previous Catalyst
+    shingle+xxhash pipeline measured 7.2s + 5.7s for 0.5M shingles at sf0.1,
+    versus ~1s for this kernel doing strictly more work. Never a per-row
+    Python loop: every step is a vectorized C operation over the flattened
+    token stream."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -83,35 +90,60 @@ def minhash_signatures(
     av, bv = _perm_coeffs(num_hashes, seed)
     a_arr = np.asarray(av, dtype=np.int64)[:, None]
     b_arr = np.asarray(bv, dtype=np.int64)[:, None]
+    poly_a = 1_000_003  # < 2^31: keeps every combine step under 2^62 (ANSI-safe)
 
-    def mh_kernel(hashes):
-        lens = hashes.str.len().to_numpy()
-        if len(lens) == 0:
+    def mh_kernel(texts):
+        n_rows = len(texts)
+        if n_rows == 0:
             return pd.Series([], dtype=object)
-        flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in hashes])
-        # (K, n_flat): products stay < 2^62 because h, a < 2^31
-        vals = (flat[None, :] * a_arr + b_arr) % _P
-        offsets = np.zeros(len(lens), dtype=np.int64)
-        np.cumsum(lens[:-1], out=offsets[1:])
-        mins = np.minimum.reduceat(vals, offsets, axis=1)  # (K, n_docs)
-        if (lens == 0).any():  # shingles are never empty in practice
-            mins[:, lens == 0] = 0
+        s = texts.fillna("").astype(str).str.strip().str.lower()
+        s = s.str.replace(r"\s+", " ", regex=True)
+        toks = s.str.split(" ")
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        flat = np.concatenate(toks.to_numpy())  # object array of tokens
+        codes, uniq = pd.factorize(flat)
+        uh = (pd.util.hash_array(uniq.astype(object)) % _P).astype(np.int64)
+        th = uh[codes]  # per-token hash, < P < 2^31
+        rid = np.repeat(np.arange(n_rows), lens)
+        m = len(th)
+        # rolling n-gram polynomial hash over the flat token stream; positions
+        # whose n-token window crosses a row boundary are masked out
+        if m >= shingle_n:
+            top = m - shingle_n + 1
+            sh = th[:top].copy()
+            for k in range(1, shingle_n):
+                sh = (sh * poly_a + th[k : top + k]) % _P
+            valid = rid[:top] == rid[shingle_n - 1 :]
+            sh = sh[valid]
+        else:
+            sh = np.array([], dtype=np.int64)
+        counts = np.maximum(lens - shingle_n + 1, 0)
+        has = counts > 0
+        mins = np.empty((num_hashes, n_rows), dtype=np.int64)
+        if has.any():
+            offs = np.zeros(int(has.sum()), dtype=np.int64)
+            np.cumsum(counts[has][:-1], out=offs[1:])
+            vals = (sh[None, :] * a_arr + b_arr) % _P  # (K, n_shingles)
+            mins[:, has] = np.minimum.reduceat(vals, offs, axis=1)
+        if (~has).any():
+            # short docs (< n tokens): single shingle = the whole normalized
+            # string, mirroring the Catalyst _shingles fallback
+            sh0 = (
+                pd.util.hash_array(s[~has].to_numpy(dtype=object)) % _P
+            ).astype(np.int64)
+            mins[:, ~has] = (sh0[None, :] * a_arr + b_arr) % _P
         return pd.Series(list(mins.T))
 
     # set annotations eagerly: this module uses postponed annotation
     # evaluation, which pandas_udf's hint inspection can't resolve
-    mh_kernel.__annotations__ = {"hashes": pd.Series, "return": pd.Series}
+    mh_kernel.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     mh_udf = pandas_udf(mh_kernel, "array<long>")
 
-    out = with_shingles(df, text_col, shingle_n)
-    hashes = out.withColumn(
-        "__h", F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
-    )
-    sig = hashes.withColumn("__sig", mh_udf(F.col("__h")))
+    sig = df.withColumn("__sig", mh_udf(F.col(text_col)))
     if as_array:
-        return sig.select(*df.columns, "shingles", "__sig")
+        return sig.select(*df.columns, "__sig")
     sig_cols = [F.element_at("__sig", k + 1).alias(f"mh_{k}") for k in range(num_hashes)]
-    return sig.select(*df.columns, "shingles", *sig_cols)
+    return sig.select(*df.columns, *sig_cols)
 
 
 def _drop_hot_buckets(banded: DataFrame, bucket_cols: list[str], cap: int) -> DataFrame:
@@ -170,22 +202,22 @@ def minhash_lsh_pairs(
         ]
     )
     # two-phase: candidate ids from slim (id, band, bh) rows — the shingle
-    # arrays never ride through the xB band explode/shuffle — then join the
-    # shingle sets back only for the (much smaller) candidate pair set.
+    # arrays never ride through the xB band explode/shuffle — then exact
+    # Jaccard only for the (much smaller) candidate pair set.
     # The signature stage is materialized ONCE, as a WRITTEN table (the
     # standard "write the signature table first" step): self-joins would
     # otherwise recompute the shingle+hash+minhash subtree for every join
     # branch (measured 4-6x recompute), and an in-memory persist() would
-    # leak cached blocks past the call (VERDICT r1).
+    # leak cached blocks past the call (VERDICT r1). The table is SLIM —
+    # (id, K-long signature) only; shingle arrays are recomputed from text
+    # for candidate rows alone, because at corpus scale writing every doc's
+    # shingle set costs far more than re-shingling the candidates.
     if sig_path is None:
         import tempfile
 
         sig_path = tempfile.mkdtemp(prefix="pitfeat_minhash_sig_")
-    sig.select(F.col(id_col), "shingles", "__sig").write.mode("overwrite").parquet(
-        sig_path
-    )
+    sig.select(F.col(id_col), "__sig").write.mode("overwrite").parquet(sig_path)
     sig = df.sparkSession.read.parquet(sig_path)
-    shingle_tbl = sig.select(F.col(id_col), F.col("shingles"))
     banded = sig.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
@@ -198,9 +230,31 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    cand = (
-        cand.join(shingle_tbl.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
-        .join(shingle_tbl.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
+    # Shingle each candidate doc ONCE, on the far side of a join boundary:
+    # referencing the shingle expression directly in the intersect/union/
+    # filter expressions re-evaluates it ~4x per pair (no CSE across those
+    # operators — measured 30s vs 3s at sf0.1). Behind the join's exchange/
+    # broadcast the arrays materialize as data and the set ops just read
+    # them. The semi-join keeps the shingled set to candidate docs only.
+    texts = df.select(F.col(id_col), F.col(text_col))
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh_tbl = texts.join(cand_ids, id_col, "left_semi").select(
+        F.col(id_col), _shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    # materialize once: the two join sides would otherwise each evaluate the
+    # shingle subtree. Candidate shingles are small by construction (bounded
+    # by the banded candidate set, not the corpus), so this write is cheap.
+    sh_path = sig_path.rstrip("/") + "_cand_shingles"
+    sh_tbl.write.mode("overwrite").parquet(sh_path)
+    sh_tbl = df.sparkSession.read.parquet(sh_path)
+    cand = cand.join(
+        sh_tbl.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(
+        sh_tbl.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
