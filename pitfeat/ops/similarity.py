@@ -160,28 +160,44 @@ def embedding_near_dup_pairs(
     dim: int = 64,
     seed: int = 42,
     max_bucket: int = 2000,
+    bucket_path: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold, candidates from
     multi-table LSH buckets (misses pairs hashing apart in every table —
     the documented ANN tradeoff; raise ``tables`` for recall). Buckets above
     ``max_bucket`` members are dropped before the self-join: one degenerate
     bucket (e.g. a mass of zero/duplicate embeddings) is otherwise O(n^2)
-    pairs; capped members still pair through other tables."""
-    s = _multi_table_buckets(
-        df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")),
-        "__v", nbits, tables, dim, seed,
+    pairs; capped members still pair through other tables.
+
+    The slim (id, table, bucket) assignment is materialized once (written
+    table): both self-join sides and the hot-bucket sketch read it instead
+    of each re-evaluating the tables x nbits hyperplane dot products over
+    the full corpus. Vectors rejoin only for the candidate pair set."""
+    base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    s = _multi_table_buckets(base, "__v", nbits, tables, dim, seed).select(
+        F.col(id_col), "tbl", "bucket"
     )
+    if bucket_path is None:
+        import tempfile
+
+        bucket_path = tempfile.mkdtemp(prefix="pitfeat_embdup_buckets_")
+    s.write.mode("overwrite").parquet(bucket_path)
+    s = df.sparkSession.read.parquet(bucket_path)
     if max_bucket > 0:
         from pitfeat.ops.dedup import _drop_hot_buckets
 
         s = _drop_hot_buckets(s, ["tbl", "bucket"], max_bucket)
-    a = s.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"), "tbl", "bucket")
-    b = s.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"), "tbl", "bucket")
+    a = s.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
+    b = s.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
     cand = (
         a.join(b, ["tbl", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    cand = cand.join(
+        base.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va")), "id_a"
+    ).join(base.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb")), "id_b")
     denom = _norm(F.col("va")) * _norm(F.col("vb"))
     cos = F.when(denom > 0, _dot(F.col("va"), F.col("vb")) / denom).otherwise(F.lit(0.0))
     return (
