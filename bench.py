@@ -56,6 +56,17 @@ def main():
     spark = get_spark("pitfeat-bench", master=f"local[{cpus}]")
     qs = entrymod.queries()
 
+    # spin up the Python worker pool before timing: the first pandas-UDF
+    # query otherwise absorbs ~8s of one-time worker startup (32 workers)
+    # that is neither per-query nor per-row cost (measured: minhash stage
+    # 10.8s cold vs 2.1s steady-state at sf0.1)
+    from pyspark.sql.functions import pandas_udf
+
+    warm = pandas_udf(lambda s: s, "long")
+    spark.range(cpus if str(cpus).isdigit() else 32).select(
+        warm("id")
+    ).collect()
+
     per_query: dict[str, float] = {}
     extra: dict[str, float] = {}
     total = 0.0
