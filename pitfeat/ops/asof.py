@@ -90,12 +90,33 @@ def asof_join(
     direction: str = "backward",
     strategy: str = "window",
     salt_buckets: int = 0,
+    hot_threshold: int | None = None,
 ) -> DataFrame:
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if strategy == "window":
         if direction != "backward":
             raise ValueError("window strategy implements backward direction only")
+        if salt_buckets > 0 and hot_threshold:
+            # TARGETED salting (the K2 design): blanket salting replicates the
+            # right side xB for EVERY key and splits every cold conv into B
+            # near-empty streams — measured 5-8x SLOWER than unsalted on a
+            # 30%-hot zipf fixture. A one-pass key-frequency sketch picks the
+            # hot keys (tiny by definition => broadcast); only they are
+            # salted, everything else takes the plain path, and the two
+            # unions are plan-compatible.
+            hot_keys = (
+                left.groupBy(on).count().where(F.col("count") >= hot_threshold).select(on)
+            )
+            lh = left.join(F.broadcast(hot_keys), on, "left_semi")
+            lc = left.join(F.broadcast(hot_keys), on, "left_anti")
+            rh = right.join(F.broadcast(hot_keys), on, "left_semi")
+            rc = right.join(F.broadcast(hot_keys), on, "left_anti")
+            cold = _asof_window(lc, rc, on, left_ts, right_ts, allow_exact, tolerance_s, 0)
+            hot = _asof_window(
+                lh, rh, on, left_ts, right_ts, allow_exact, tolerance_s, salt_buckets
+            )
+            return cold.unionByName(hot)
         return _asof_window(
             left, right, on, left_ts, right_ts, allow_exact, tolerance_s, salt_buckets
         )

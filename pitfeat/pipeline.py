@@ -77,6 +77,9 @@ class Pipeline:
             tolerance_s=self.cfg.asof_tolerance_s,
             strategy=self.cfg.asof_strategy,
             salt_buckets=self.cfg.salt_buckets,
+            # keys above this engage TARGETED salting; below it the plain
+            # window path wins (measured — see BASELINE.md skew paragraph)
+            hot_threshold=self.cfg.hot_key_threshold if self.cfg.salt_buckets else None,
         )
         return self._next(joined, fcols)
 

@@ -122,3 +122,19 @@ def test_duplicate_right_rows_deterministic(spark):
         for s in ("window", "cogroup", "merge")
     }
     assert winners == {"window": 30.0, "cogroup": 30.0, "merge": 30.0}
+
+
+def test_targeted_salting_equals_unsalted(transcripts, snapshots):
+    """K2 targeted salting: hot keys (above threshold) take the salted path,
+    cold keys the plain path; the union must equal the unsalted join. Low
+    threshold => both paths populated."""
+    base = _collect_sorted(asof_join(transcripts, snapshots))
+    targeted = _collect_sorted(
+        asof_join(transcripts, snapshots, salt_buckets=4, hot_threshold=5)
+    )
+    pd.testing.assert_frame_equal(base, targeted)
+    # threshold nothing reaches: pure cold path, still identical
+    cold_only = _collect_sorted(
+        asof_join(transcripts, snapshots, salt_buckets=4, hot_threshold=10**9)
+    )
+    pd.testing.assert_frame_equal(base, cold_only)
