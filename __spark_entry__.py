@@ -632,6 +632,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _events(spark, sf).select(
             "event_id",
             F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+            # structured parse path (§2.7 from_json): same payload through a
+            # declared schema instead of a JSONPath probe
+            F.from_json("props", "k int")["k"].alias("k_struct"),
         )
     )
 
@@ -1076,7 +1079,8 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["f_json_funcs"] = (
-        "SELECT event_id, json_extract_string(props, '$.k')::INTEGER AS k_val FROM events"
+        "SELECT event_id, json_extract_string(props, '$.k')::INTEGER AS k_val, "
+        "json_extract_string(props, '$.k')::INTEGER AS k_struct FROM events"
     )
 
     o["f_array_funcs"] = """
