@@ -14,9 +14,10 @@ See SURVEY.md for the blueprint and BASELINE.md for the performance contract.
 """
 
 from pitfeat.config import PitfeatConfig
-from pitfeat.session import get_spark
+from pitfeat.ops.asof import asof_join
 from pitfeat.pipeline import Pipeline
+from pitfeat.session import get_spark
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
-__all__ = ["PitfeatConfig", "get_spark", "Pipeline", "__version__"]
+__all__ = ["PitfeatConfig", "get_spark", "Pipeline", "asof_join", "__version__"]

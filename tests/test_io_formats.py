@@ -70,3 +70,30 @@ def test_grouped_rms_udaf(spark, transcripts):
         grp = pdf[pdf["role"] == r["role"]]["val"].to_numpy(dtype=float)
         q75, q25 = np.percentile(grp, [75.0, 25.0])
         assert abs(r["iqr"] - (q75 - q25)) < 1e-9
+
+
+def test_write_features_partitioned_roundtrip(spark, transcripts, tmp_path):
+    """S6: partitioned feature sink writes hive-style dirs and roundtrips."""
+    import os
+
+    from pitfeat.io import write_features
+
+    df = transcripts.select("conv_id", "turn_idx", "ts", "role")
+    p = str(tmp_path / "features_out")
+    write_features(df, p, partition_by=["role"])
+    subdirs = {d for d in os.listdir(p) if d.startswith("role=")}
+    assert subdirs == {"role=user", "role=assistant", "role=tool"}
+    back = (
+        spark.read.parquet(p)
+        .select("conv_id", "turn_idx", "role")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.select("conv_id", "turn_idx", "role")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert (back == want).all().all()
