@@ -56,6 +56,11 @@ def main(argv=None):
     ap.add_argument("--resume", default=None, help="run id for checkpoint resume")
     ap.add_argument("--ckpt-root", default="/tmp/pitfeat_ckpt")
     ap.add_argument("--strategy", default="window", choices=["window", "cogroup", "merge"])
+    ap.add_argument("--salt-buckets", type=int, default=0,
+                    help="hot-key salting fanout for the as-of join (0 = off); "
+                         "engages TARGETED salting for keys above --hot-threshold")
+    ap.add_argument("--hot-threshold", type=int, default=5_000_000,
+                    help="rows-per-key above which a key is salted (K2 sketch)")
     ap.add_argument("--count-only", action="store_true")
     ap.add_argument("--no-normalize", action="store_true",
                     help="skip the min-max stats pass: the north-rule metric is "
@@ -68,7 +73,11 @@ def main(argv=None):
                          "regime that matters at 10^12-turn scale")
     args = ap.parse_args(argv)
 
-    cfg = PitfeatConfig(asof_strategy=args.strategy)
+    cfg = PitfeatConfig(
+        asof_strategy=args.strategy,
+        salt_buckets=args.salt_buckets,
+        hot_key_threshold=args.hot_threshold,
+    )
     spark = SparkSession.builder.appName("pitfeat-build-features").getOrCreate()
     for k, v in {
         "spark.sql.session.timeZone": "UTC",
