@@ -1,0 +1,136 @@
+"""Edge cases and determinism for the fused text kernels (minhash, simhash)
+and a property-based as-of check (hypothesis over randomized frames)."""
+
+import datetime as dt
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from pitfeat.ops.asof import asof_join
+from pitfeat.ops.dedup import minhash_signatures, simhash
+
+EDGE_TEXTS = [
+    (0, ""),                       # empty
+    (1, "   "),                    # whitespace only
+    (2, "one"),                    # single token (< shingle_n)
+    (3, "two tokens"),             # below 3-gram width
+    (4, "exactly three tokens"),   # == shingle_n
+    (5, "a b c d e f g h i j"),    # normal
+    (6, "ünïcödé tøkens héré please and more of them"),  # non-ascii
+    (7, "repeat repeat repeat repeat repeat"),            # degenerate vocab
+    (8, "Tabs\tand\nnewlines   collapse to single spaces everywhere"),
+    (9, None),                     # null text
+]
+
+
+@pytest.fixture(scope="module")
+def edge_docs(spark):
+    return spark.createDataFrame(EDGE_TEXTS, "doc_id long, text string")
+
+
+def test_minhash_kernel_edges_deterministic(edge_docs):
+    a = {r["doc_id"]: r["__sig"] for r in minhash_signatures(edge_docs, as_array=True).collect()}
+    b = {r["doc_id"]: r["__sig"] for r in minhash_signatures(edge_docs, as_array=True).collect()}
+    assert a == b  # deterministic across runs
+    assert all(len(v) == 32 for v in a.values())  # fixed width, even for empty/null
+    assert all(all(0 <= x < (1 << 31) for x in v) for v in a.values())
+    # null and empty normalize identically ('' after fillna+strip)
+    assert a[9] == a[0]
+    # whitespace-only == empty after normalization
+    assert a[1] == a[0]
+    # identical docs would collide; these distinct docs must not all collide
+    assert len({tuple(v) for v in a.values()}) >= 7
+
+
+def test_minhash_matches_catalyst_shingle_semantics(spark):
+    """The fused kernel must keep the documented fallback: docs shorter than
+    the shingle width hash the whole normalized string as one shingle — so
+    two short docs differing only in whitespace/case get EQUAL signatures."""
+    docs = spark.createDataFrame(
+        [(0, "  Hello   World "), (1, "hello world")], "doc_id long, text string"
+    )
+    sigs = {r["doc_id"]: r["__sig"] for r in minhash_signatures(docs, as_array=True).collect()}
+    assert sigs[0] == sigs[1]
+
+
+def test_simhash_kernel_edges_deterministic(edge_docs):
+    a = {r["doc_id"]: r["simhash"] for r in simhash(edge_docs).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in simhash(edge_docs).collect()}
+    assert a == b
+    assert a[9] == a[0] and a[1] == a[0]
+    # near-identical docs (case/whitespace) collide, distinct docs spread
+    assert len(set(a.values())) >= 6
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+if HAVE_HYPOTHESIS:
+    _ts = st.integers(min_value=0, max_value=3_000)
+    _key = st.sampled_from(["k1", "k2", "k3"])
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        lefts=st.lists(st.tuples(_key, _ts), min_size=1, max_size=25),
+        rights=st.lists(st.tuples(_key, _ts, st.floats(0, 100, allow_nan=False)), max_size=25),
+        allow_exact=st.booleans(),
+    )
+    def test_asof_property_vs_merge_asof(spark, lefts, rights, allow_exact):
+        """SURVEY §5 item 1 as a property: for arbitrary small frames, the
+        window-strategy as-of equals pandas.merge_asof (ties, misses,
+        duplicates-free right side)."""
+        base = dt.datetime(2024, 1, 1)
+        lpdf = pd.DataFrame(
+            {
+                "conv_id": [k for k, _ in lefts],
+                "ts": [base + dt.timedelta(seconds=t) for _, t in lefts],
+            }
+        )
+        # unique (key, snap_ts): the documented right-side contract
+        seen = set()
+        rrows = []
+        for k, t, v in rights:
+            if (k, t) not in seen:
+                seen.add((k, t))
+                rrows.append((k, base + dt.timedelta(seconds=t), v))
+        rpdf = pd.DataFrame(rrows, columns=["conv_id", "snap_ts", "val"]).astype(
+            {"snap_ts": "datetime64[ns]", "val": "float64"}
+        )
+
+        ldf = spark.createDataFrame(lpdf)
+        rdf = (
+            spark.createDataFrame(rpdf)
+            if len(rpdf)
+            else spark.createDataFrame([], "conv_id string, snap_ts timestamp, val double")
+        )
+        got = (
+            asof_join(ldf, rdf, allow_exact=allow_exact)
+            .toPandas()
+            .sort_values(["conv_id", "ts"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        want = pd.merge_asof(
+            lpdf.sort_values("ts", kind="mergesort"),
+            rpdf.sort_values("snap_ts", kind="mergesort"),
+            left_on="ts",
+            right_on="snap_ts",
+            by="conv_id",
+            direction="backward",
+            allow_exact_matches=allow_exact,
+        ).sort_values(["conv_id", "ts"], kind="mergesort").reset_index(drop=True)
+        assert len(got) == len(want)
+        pd.testing.assert_series_equal(got["snap_ts"], want["snap_ts"], check_names=False)
+        pd.testing.assert_series_equal(
+            got["val"].astype(float), want["val"].astype(float), check_names=False
+        )
