@@ -53,3 +53,32 @@ def test_lineage_json_is_audit_ready(spark, transcripts, tmp_path):
     assert lin["stage"] == "stageX"
     assert lin["inputs"] == ["t1", "t2"]
     assert {"pid", "rows", "bytes"} <= set(lin["partitions"][0])
+
+
+def test_torn_rewrite_invalidates_checkpoint(spark, tmp_path):
+    """ADVICE r1: write_checkpoint removes marker+lineage BEFORE touching
+    data/, so a crash mid-rewrite leaves the checkpoint absent — never a
+    stale marker validating over torn data."""
+    import os
+
+    from pitfeat.checkpoint import (
+        LINEAGE,
+        MARKER,
+        checkpoint_valid,
+        resume_or_compute,
+        write_checkpoint,
+    )
+
+    d = str(tmp_path / "ck")
+    df = spark.range(5).toDF("x")
+    write_checkpoint(df, d, "s", "h1")
+    assert checkpoint_valid(d, "h1")
+    # emulate the crash point: invalidation done, data rewrite never finished
+    os.remove(os.path.join(d, MARKER))
+    os.remove(os.path.join(d, LINEAGE))
+    assert not checkpoint_valid(d, "h1")
+    # resume_or_compute treats it as absent, recomputes, restores validity
+    out, resumed = resume_or_compute(spark, d, "s", "h1", lambda: df)
+    assert not resumed
+    assert checkpoint_valid(d, "h1")
+    assert out.count() == 5
