@@ -68,12 +68,33 @@ def cosine_topk(
     )
 
 
+def _hyperplane_component(seed: int, bit: int, j: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-0.5, 0.5).
+    Python ``hash`` over an int tuple is process-stable (int hashing is not
+    salted), and the matrix is built ONCE on the driver anyway — executors
+    receive the finished numpy array, never re-derive it."""
+    return ((hash((seed, bit, j)) & 0xFFFFFFFF) / 0xFFFFFFFF) - 0.5
+
+
+def _hyperplane_matrix(dim: int, nbits: int, tables: int, seed: int):
+    """(tables*nbits, dim) float64 hyperplane matrix; row t*nbits+b is bit b of
+    table t, with per-table seed ``seed + 7919*(t+1)`` (the same derivation the
+    original expression path used, so signatures are bit-identical)."""
+    import numpy as np
+
+    H = np.empty((tables * nbits, dim), dtype=np.float64)
+    for t in range(tables):
+        s = seed + 7919 * (t + 1)
+        for b in range(nbits):
+            H[t * nbits + b, :] = [_hyperplane_component(s, b, j) for j in range(dim)]
+    return H
+
+
 def _hyperplane(dim: int, bit: int, seed: int):
-    """Deterministic pseudo-random hyperplane as a literal array: component j =
-    centered hash in [-0.5, 0.5). Computed once on the driver as expressions."""
-    comps = [
-        (F.lit(((hash((seed, bit, j)) & 0xFFFFFFFF) / 0xFFFFFFFF) - 0.5)) for j in range(dim)
-    ]
+    """Expression-path hyperplane (literal array). Kept for lsh_signatures'
+    single-signature API and as the parity oracle for the fused kernel
+    (tests/test_kernels.py); the hot paths use _multi_table_buckets instead."""
+    comps = [F.lit(_hyperplane_component(seed, bit, j)) for j in range(dim)]
     return F.array(*comps)
 
 
@@ -89,13 +110,73 @@ def lsh_signatures(
     return df.withColumn("lsh_bucket", sig)
 
 
+def _table_sigs_udf(nbits: int, tables: int, dim: int, seed: int):
+    """Fused Arrow kernel: embedding -> array<long> of per-table bucket ids.
+
+    One (batch x dim) @ (dim x tables*nbits) float64 matmul per Arrow batch,
+    sign-packed to one int64 per table. Replaces the previous expression path
+    whose plan was O(tables x nbits x dim) literal nodes — 1,024 at the
+    contract's 1x16x64 and 131k at a realistic dim=1024 with 8 bits x 16
+    tables, a driver-side planning/codegen scale-killer (measured 6.3s wall
+    for 15 output rows at sf0.1, dominated by plan construction). The
+    hyperplanes ship as ONE broadcast numpy matrix in the UDF closure.
+
+    Sign-parity with the expression path: the matmul reorders the dot-product
+    sum, which can only flip a bit when the dot is within float rounding of
+    zero (measure-zero for real embeddings; bit-identical on the driver
+    corpora — asserted by tests/test_kernels.py). Null/ragged vectors hash to
+    bucket 0 in every table, mirroring the expression path's null semantics.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    H = _hyperplane_matrix(dim, nbits, tables, seed).T  # (dim, tables*nbits)
+    weights = (np.int64(1) << np.arange(nbits, dtype=np.int64))[None, None, :]
+
+    def kernel(vecs):
+        n = len(vecs)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        raw = vecs.to_numpy()
+        ok = np.array(
+            [v is not None and len(v) == dim for v in raw], dtype=bool
+        )
+        sigs = np.zeros((n, tables), dtype=np.int64)
+        if ok.any():
+            V = np.vstack([np.asarray(v, dtype=np.float64) for v in raw[ok]])
+            bits = (V @ H) >= 0.0  # (n_ok, tables*nbits)
+            packed = (
+                (bits.reshape(-1, tables, nbits).astype(np.int64)) * weights
+            ).sum(axis=2)
+            sigs[ok] = packed
+        return pd.Series(list(sigs))
+
+    kernel.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return pandas_udf(kernel, "array<long>")
+
+
 def _multi_table_buckets(
     df: DataFrame, vec_col: str, nbits: int, tables: int, dim: int, seed: int
 ) -> DataFrame:
     """Explode each vector into ``tables`` (table_id, bucket) rows — the
     standard multi-table LSH recall amplifier. Candidate pairs are rows that
     share ANY table's bucket. Row fanout is x``tables`` (bounded, chosen by
-    the caller), never an all-pairs product."""
+    the caller), never an all-pairs product. Signatures come from the fused
+    Arrow kernel (_table_sigs_udf); the explode itself stays JVM-side."""
+    sig_udf = _table_sigs_udf(nbits, tables, dim, seed)
+    return (
+        df.withColumn("__sigs", sig_udf(F.col(vec_col)))
+        .select(*df.columns, F.posexplode("__sigs").alias("tbl", "bucket"))
+    )
+
+
+def _multi_table_buckets_expr(
+    df: DataFrame, vec_col: str, nbits: int, tables: int, dim: int, seed: int
+) -> DataFrame:
+    """Pure-expression reference implementation (the pre-fusion path): kept
+    ONLY as the parity oracle for _table_sigs_udf — its plan is
+    O(tables*nbits*dim) literal nodes and must not be used at scale."""
     entries = []
     for t in range(tables):
         sig = F.lit(0).cast("long")

