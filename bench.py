@@ -67,30 +67,50 @@ def main():
         warm("id")
     ).collect()
 
-    per_query: dict[str, float] = {}
-    extra: dict[str, float] = {}
-    total = 0.0
-    n_rows_flagship = 0
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.perf_counter()
-        n = force_eval(fn(spark, sf_dir))
-        dt = time.perf_counter() - t0
-        per_query[name] = round(dt, 3)
-        total += dt
-        if name == "flagship_pit_features":
-            n_rows_flagship = n
-            extra["flagship_rows"] = n
-            extra["flagship_turns_per_sec"] = round(n / dt, 1)
+    # INTERLEAVED trials (never a single pass): this host has documented
+    # multi-minute 2-4x slowdown episodes (BASELINE.md — identical runs
+    # 28.5s vs 165.1s), so one pass per query is a coin flip. Running the
+    # whole set N times round-robin and reporting the per-query MIN (the
+    # clean-host number; the headline) plus the median (the typical number)
+    # is the same protocol bench/run_scaling.py uses for the scaling gate.
+    trials = max(1, int(os.environ.get("SPARK_GRAFT_TRIALS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    flagship_rows = 0
+    for _ in range(trials):
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.perf_counter()
+            n = force_eval(fn(spark, sf_dir))
+            samples[name].append(time.perf_counter() - t0)
+            if name == "flagship_pit_features":
+                flagship_rows = n
+
+    def med(xs: list[float]) -> float:
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+    per_query = {name: round(min(ts), 3) for name, ts in samples.items()}
+    per_query_median = {name: round(med(ts), 3) for name, ts in samples.items()}
+    total = sum(min(ts) for ts in samples.values())
+    extra = {
+        "flagship_rows": flagship_rows,
+        "flagship_turns_per_sec": round(
+            flagship_rows / min(samples["flagship_pit_features"]), 1
+        ),
+        "trials": trials,
+        "total_median": round(sum(med(ts) for ts in samples.values()), 3),
+    }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
-                "metric": "headline query set wall-clock (flagship PIT feature build + as-of/window/agg/dedup/similarity/text)",
+                "metric": "headline query set wall-clock, per-query min over interleaved trials (flagship PIT feature build + as-of/window/agg/dedup/similarity/text)",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,
+                "queries_median": per_query_median,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "extra": extra,
             }
