@@ -754,8 +754,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     q["t4_fingerprint"] = lambda spark, sf: (
+        # distinct over BOTH fingerprint halves: identity is the 128-bit pair
+        # (xxhash64 never returns null, so no rows drop out of the count)
         TX.fingerprint(_t(spark, sf, "documents")).agg(
-            F.countDistinct("fp64").alias("n_distinct")
+            F.countDistinct("fp64", "fp64b").alias("n_distinct")
         )
     )
 

@@ -48,12 +48,47 @@ def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
     return df.withColumn("shingles", _shingles(F.col(text_col), n))
 
 
+def _scratch_dir(df: DataFrame, path: str | None, prefix: str) -> str:
+    """Resolve a materialization path for intermediate tables (signature /
+    bucket tables written once, read by several consumers).
+
+    Cluster callers MUST pass a shared-storage path: a driver-local temp dir
+    is invisible to executors on other nodes — tasks would write their output
+    to their own local disks and the read-back would see partial or no data.
+    With no path given we therefore proceed only on local[*] masters, and
+    register a process-exit cleanup so repeated calls don't leak disk."""
+    if path is not None:
+        return path
+    master = str(df.sparkSession.conf.get("spark.master", "") or "")
+    if not master.startswith("local"):
+        raise ValueError(
+            f"{prefix}: no materialization path given and master is {master!r} — "
+            "pass sig_path/bucket_path pointing at storage shared by all "
+            "executors (e.g. an S3/HDFS checkpoint dir)"
+        )
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Exact dedup on normalized text hash; keeps min(id) per group."""
+    """Exact dedup on a normalized-text hash; keeps min(id) per group.
+
+    The group key is 128 bits (two independently-seeded xxhash64 columns):
+    a single 64-bit key expects ~n^2/2^65 collisions — ≈2.7x10^4 at n=10^12
+    docs, each one silently deleting a unique document (min-id keeps only one
+    row per bucket). At 128 bits the expectation is n^2/2^129 ≈ 1.5x10^-15:
+    zero for any physical corpus."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    h = df.withColumn("__fp", F.xxhash64(norm))
-    keep = h.groupBy("__fp").agg(F.min(id_col).alias(id_col))
-    return h.join(keep, ["__fp", id_col], "left_semi").drop("__fp")
+    h = df.withColumn("__fp1", F.xxhash64(norm)).withColumn(
+        "__fp2", F.xxhash64(norm, F.lit(0x9E3779B9).cast("long"))
+    )
+    keep = h.groupBy("__fp1", "__fp2").agg(F.min(id_col).alias(id_col))
+    return h.join(keep, ["__fp1", "__fp2", id_col], "left_semi").drop("__fp1", "__fp2")
 
 
 def _perm_coeffs(num_hashes: int, seed: int):
@@ -123,8 +158,17 @@ def minhash_signatures(
         if has.any():
             offs = np.zeros(int(has.sum()), dtype=np.int64)
             np.cumsum(counts[has][:-1], out=offs[1:])
-            vals = (sh[None, :] * a_arr + b_arr) % _P  # (K, n_shingles)
-            mins[:, has] = np.minimum.reduceat(vals, offs, axis=1)
+            # one hash function at a time with a preallocated buffer: the
+            # previous (K, n_shingles) broadcast materialized K x 8B x n_sh
+            # (~128MB per 0.5M shingles) of temporaries — allocation- and
+            # memory-bandwidth-bound, and pathological under host memory
+            # pressure. A single n_sh buffer stays L2/L3-resident; same flops.
+            buf = np.empty_like(sh)
+            for k in range(num_hashes):
+                np.multiply(sh, a_arr[k, 0], out=buf)
+                buf += b_arr[k, 0]
+                buf %= _P
+                mins[k, has] = np.minimum.reduceat(buf, offs)
         if (~has).any():
             # short docs (< n tokens): single shingle = the whole normalized
             # string, mirroring the Catalyst _shingles fallback
@@ -166,6 +210,76 @@ def _drop_hot_buckets(banded: DataFrame, bucket_cols: list[str], cap: int) -> Da
     return banded.join(F.broadcast(hot), bucket_cols, "left_anti")
 
 
+def _shingle_hash_udf(shingle_n: int):
+    """Fused Arrow kernel: text -> array<long> of DISTINCT 64-bit shingle
+    hashes (uint64 rolling-polynomial over factorized token hashes, viewed as
+    int64 — the simhash kernel's hash family).
+
+    Used by the candidate-verification stage: exact Jaccard over hashed
+    shingle sets equals Jaccard over string shingle sets except when two
+    distinct shingles collide in 64 bits (~s_a*s_b/2^64 per pair — vanishing;
+    identical docs keep Jaccard exactly 1.0 since identical sets hash to
+    identical sets). Why hashed + fused: Catalyst evaluates the string
+    shingle pipeline (transform/slice/concat_ws) INTERPRETED — measured 9-13s
+    for 10k candidate docs at sf0.1 vs ~1s for this kernel — and int64 arrays
+    make the downstream array_intersect/array_union set ops integer
+    comparisons instead of string comparisons."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    poly_a = np.uint64(1_000_003)
+
+    def kernel(texts):
+        n_rows = len(texts)
+        if n_rows == 0:
+            return pd.Series([], dtype=object)
+        s = texts.fillna("").astype(str).str.strip().str.lower()
+        s = s.str.replace(r"\s+", " ", regex=True)
+        toks = s.str.split(" ")
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        flat = np.concatenate(toks.to_numpy())
+        codes, uniq = pd.factorize(flat)
+        uh = pd.util.hash_array(uniq.astype(object)).astype(np.uint64)
+        th = uh[codes]
+        rid = np.repeat(np.arange(n_rows), lens)
+        m = len(th)
+        if m >= shingle_n:
+            top = m - shingle_n + 1
+            sh = th[:top].copy()
+            for k in range(1, shingle_n):
+                sh = sh * poly_a + th[k : top + k]  # uint64 wraparound
+            valid = rid[:top] == rid[shingle_n - 1 :]
+            sh, srid = sh[valid], rid[:top][valid]
+        else:
+            sh = np.array([], dtype=np.uint64)
+            srid = np.array([], dtype=np.int64)
+        # per-row DISTINCT sets, fully vectorized: lexsort by (row, hash),
+        # drop adjacent duplicates, then split at row boundaries
+        order = np.lexsort((sh, srid))
+        sh, srid = sh[order], srid[order]
+        keep = np.ones(len(sh), dtype=bool)
+        keep[1:] = (sh[1:] != sh[:-1]) | (srid[1:] != srid[:-1])
+        sh, srid = sh[keep], srid[keep]
+        cnt = np.bincount(srid, minlength=n_rows)
+        parts = np.split(sh.view(np.int64), np.cumsum(cnt)[:-1])
+        # short docs (< n tokens): single shingle = the whole normalized
+        # string, mirroring the Catalyst _shingles fallback
+        short = lens < shingle_n
+        if short.any():
+            sh0 = pd.util.hash_array(s[short].to_numpy(dtype=object)).astype(
+                np.uint64
+            )
+            out = list(parts)
+            for i, h0 in zip(np.nonzero(short)[0], sh0.view(np.int64)):
+                out[i] = np.array([h0], dtype=np.int64)
+            return pd.Series(out)
+        return pd.Series(list(parts))
+
+    kernel.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(kernel, "array<long>")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -182,10 +296,11 @@ def minhash_lsh_pairs(
 
     Candidates: docs sharing any LSH band bucket, with buckets larger than
     ``max_bucket`` dropped (see _drop_hot_buckets — the O(n^2) guard).
-    Verification: exact Jaccard over shingle sets via array_intersect/union
-    sizes (JVM-side). ``sig_path``: where to materialize the signature table
-    (a real pipeline points this at durable storage; default is a temp dir).
-    """
+    Verification: exact Jaccard over 64-bit-hashed shingle sets via
+    array_intersect/union sizes (JVM-side; see _shingle_hash_udf for the
+    collision math). ``sig_path``: where to materialize the signature table —
+    REQUIRED on a cluster (shared storage); defaults to a local temp dir with
+    exit cleanup on local[*] masters only (see _scratch_dir)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(
         df, text_col, num_hashes, shingle_n, seed, as_array=True
@@ -212,10 +327,8 @@ def minhash_lsh_pairs(
     # (id, K-long signature) only; shingle arrays are recomputed from text
     # for candidate rows alone, because at corpus scale writing every doc's
     # shingle set costs far more than re-shingling the candidates.
-    if sig_path is None:
-        import tempfile
-
-        sig_path = tempfile.mkdtemp(prefix="pitfeat_minhash_sig_")
+    auto_scratch = sig_path is None
+    sig_path = _scratch_dir(df, sig_path, "pitfeat_minhash_sig_")
     sig.select(F.col(id_col), "__sig").write.mode("overwrite").parquet(sig_path)
     sig = df.sparkSession.read.parquet(sig_path)
     banded = sig.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
@@ -236,6 +349,8 @@ def minhash_lsh_pairs(
     # operators — measured 30s vs 3s at sf0.1). Behind the join's exchange/
     # broadcast the arrays materialize as data and the set ops just read
     # them. The semi-join keeps the shingled set to candidate docs only.
+    # Shingles are 64-bit HASHED (fused Arrow kernel) — the Catalyst string
+    # pipeline runs interpreted and was this operator's recorded regression.
     texts = df.select(F.col(id_col), F.col(text_col))
     cand_ids = (
         cand.select(F.col("id_a").alias(id_col))
@@ -243,12 +358,17 @@ def minhash_lsh_pairs(
         .distinct()
     )
     sh_tbl = texts.join(cand_ids, id_col, "left_semi").select(
-        F.col(id_col), _shingles(F.col(text_col), shingle_n).alias("sh")
+        F.col(id_col), _shingle_hash_udf(shingle_n)(F.col(text_col)).alias("sh")
     )
     # materialize once: the two join sides would otherwise each evaluate the
     # shingle subtree. Candidate shingles are small by construction (bounded
     # by the banded candidate set, not the corpus), so this write is cheap.
     sh_path = sig_path.rstrip("/") + "_cand_shingles"
+    if auto_scratch:
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, sh_path, ignore_errors=True)
     sh_tbl.write.mode("overwrite").parquet(sh_path)
     sh_tbl = df.sparkSession.read.parquet(sh_path)
     cand = cand.join(
@@ -335,11 +455,18 @@ def simhash(df: DataFrame, text_col: str = "text", shingle_n: int = 2) -> DataFr
         has = counts > 0
         sums = np.zeros((n_rows, 64), dtype=np.int64)
         if has.any():
-            bits = ((sh[:, None] >> bit_idx) & np.uint64(1)).astype(np.int8)
-            votes = (2 * bits - 1).astype(np.int64)
             offs = np.zeros(int(has.sum()), dtype=np.int64)
             np.cumsum(counts[has][:-1], out=offs[1:])
-            sums[has] = np.add.reduceat(votes, offs, axis=0)
+            # per-bit loop with one n_sh buffer instead of an (n_sh, 64)
+            # +/-1 vote matrix (~256MB per 0.5M shingles): same flops,
+            # cache-resident temporaries (see the minhash kernel's identical
+            # blocking rationale)
+            ones = np.uint64(1)
+            for b in range(64):
+                bit = ((sh >> np.uint64(b)) & ones).astype(np.int64)
+                np.multiply(bit, 2, out=bit)
+                bit -= 1
+                sums[has, b] = np.add.reduceat(bit, offs)
         if (~has).any():
             sh0 = pd.util.hash_array(s[~has].to_numpy(dtype=object)).astype(np.uint64)
             bits0 = ((sh0[:, None] >> bit_idx) & np.uint64(1)).astype(np.int64)
@@ -373,10 +500,7 @@ def simhash_near_pairs(
     and the hot-bucket sketch — and would otherwise each re-run the text
     kernel over the full corpus."""
     s = simhash(df, text_col).select(id_col, "simhash")
-    if sig_path is None:
-        import tempfile
-
-        sig_path = tempfile.mkdtemp(prefix="pitfeat_simhash_sig_")
+    sig_path = _scratch_dir(df, sig_path, "pitfeat_simhash_sig_")
     s.write.mode("overwrite").parquet(sig_path)
     s = df.sparkSession.read.parquet(sig_path)
     segs = F.array(

@@ -258,10 +258,9 @@ def embedding_near_dup_pairs(
     s = _multi_table_buckets(base, "__v", nbits, tables, dim, seed).select(
         F.col(id_col), "tbl", "bucket"
     )
-    if bucket_path is None:
-        import tempfile
+    from pitfeat.ops.dedup import _scratch_dir
 
-        bucket_path = tempfile.mkdtemp(prefix="pitfeat_embdup_buckets_")
+    bucket_path = _scratch_dir(df, bucket_path, "pitfeat_embdup_buckets_")
     s.write.mode("overwrite").parquet(bucket_path)
     s = df.sparkSession.read.parquet(bucket_path)
     if max_bucket > 0:

@@ -82,8 +82,14 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp64") -> DataFrame:
-    """Order-sensitive 64-bit document fingerprint: xxhash64 over the
-    whitespace-normalized, lowercased text (rolling-hash equivalent, one pass,
-    collision-resistant enough for dedup candidate buckets)."""
+    """Order-sensitive document fingerprint over the whitespace-normalized,
+    lowercased text: ``out_col`` (64-bit xxhash64, fine for CANDIDATE
+    buckets) plus ``{out_col}b`` (a second, independently-seeded hash).
+
+    Identity decisions must key on BOTH columns: a single 64-bit key expects
+    n^2/2^65 collisions — ≈2.7x10^4 silently-merged distinct docs at n=10^12;
+    the 128-bit pair expects ≈1.5x10^-15 (zero for any physical corpus)."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    return df.withColumn(out_col, F.xxhash64(norm))
+    return df.withColumn(out_col, F.xxhash64(norm)).withColumn(
+        f"{out_col}b", F.xxhash64(norm, F.lit(0x9E3779B9).cast("long"))
+    )
