@@ -118,20 +118,7 @@ def asof_join(
         if direction != "backward":
             raise ValueError("window strategy implements backward direction only")
         if salt_buckets > 0 and hot_threshold:
-            # TARGETED salting (the K2 design): blanket salting replicates the
-            # right side xB for EVERY key and splits every cold conv into B
-            # near-empty streams — measured 5-8x SLOWER than unsalted on a
-            # 30%-hot zipf fixture. A one-pass key-frequency sketch picks the
-            # hot keys (tiny by definition => broadcast); only they are
-            # salted, everything else takes the plain path, and the two
-            # unions are plan-compatible.
-            hot_keys = (
-                left.groupBy(on).count().where(F.col("count") >= hot_threshold).select(on)
-            )
-            lh = left.join(F.broadcast(hot_keys), on, "left_semi")
-            lc = left.join(F.broadcast(hot_keys), on, "left_anti")
-            rh = right.join(F.broadcast(hot_keys), on, "left_semi")
-            rc = right.join(F.broadcast(hot_keys), on, "left_anti")
+            lh, lc, rh, rc = _split_hot_keys(left, right, on, hot_threshold)
             cold = _asof_window(lc, rc, on, left_ts, right_ts, allow_exact, tolerance_s, 0)
             hot = _asof_window(
                 lh, rh, on, left_ts, right_ts, allow_exact, tolerance_s, salt_buckets
@@ -143,12 +130,45 @@ def asof_join(
     if strategy == "merge":
         if direction != "backward":
             raise ValueError("merge strategy implements backward direction only")
+        # no salting path needed: merge's memory is bounded by the Arrow
+        # batch size regardless of key heat (see module docstring)
         return _asof_merge(left, right, on, left_ts, right_ts, allow_exact, tolerance_s)
     if strategy != "cogroup":
         raise ValueError(f"unknown strategy {strategy!r}")
+    if salt_buckets > 0 and hot_threshold:
+        # targeted salting for the cogroup strategy (same sketch+split as the
+        # window path): blanket salting replicates the right side xB for every
+        # key — measured 5x slower than unsalted on a 30%-hot zipf fixture —
+        # while an unsplit hot key is exactly cogroup's memory hazard (one
+        # group = one in-worker pandas frame)
+        lh, lc, rh, rc = _split_hot_keys(left, right, on, hot_threshold)
+        cold = _asof_cogroup(
+            lc, rc, on, left_ts, right_ts, allow_exact, tolerance_s, direction, 0
+        )
+        hot = _asof_cogroup(
+            lh, rh, on, left_ts, right_ts, allow_exact, tolerance_s, direction, salt_buckets
+        )
+        return cold.unionByName(hot)
     return _asof_cogroup(
         left, right, on, left_ts, right_ts, allow_exact, tolerance_s, direction, salt_buckets
     )
+
+
+def _split_hot_keys(left: DataFrame, right: DataFrame, on: str, hot_threshold: int):
+    """TARGETED salting split (the K2 design): blanket salting replicates the
+    right side xB for EVERY key and splits every cold conv into B near-empty
+    streams — measured 5-8x SLOWER than unsalted on a 30%-hot zipf fixture.
+    A one-pass key-frequency sketch picks the hot keys (tiny by definition =>
+    broadcast); only they take the salted path, everything else the plain
+    path, and the two unions are plan-compatible."""
+    hot_keys = (
+        left.groupBy(on).count().where(F.col("count") >= hot_threshold).select(on)
+    )
+    lh = left.join(F.broadcast(hot_keys), on, "left_semi")
+    lc = left.join(F.broadcast(hot_keys), on, "left_anti")
+    rh = right.join(F.broadcast(hot_keys), on, "left_semi")
+    rc = right.join(F.broadcast(hot_keys), on, "left_anti")
+    return lh, lc, rh, rc
 
 
 # --------------------------------------------------------------------------
@@ -308,12 +328,23 @@ def _asof_cogroup(
         l["__lts"] = pd.to_datetime(l[left_ts]).astype("datetime64[ns]")
         r["__rts"] = pd.to_datetime(r[right_ts]).astype("datetime64[ns]")
         l = l.sort_values("__lts", kind="mergesort")
-        # value columns as trailing sort keys: merge_asof keeps the LAST
-        # duplicate at equal ts, so the greatest value tuple wins — matching
-        # the window/merge strategies (nulls first == Spark asc default)
-        r = r.sort_values(
-            ["__rts"] + right_val_cols, kind="mergesort", na_position="first"
-        )
+        # value columns as trailing sort keys so duplicate right rows at equal
+        # (key, ts) resolve to the GREATEST value tuple in both directions:
+        # merge_asof keeps the LAST tie going backward (=> sort values
+        # ascending, nulls first) but the FIRST tie going forward (=> sort
+        # values descending, nulls last). Without the direction split,
+        # forward picked the SMALLEST tuple (ADVICE r2).
+        if direction == "forward":
+            r = r.sort_values(
+                ["__rts"] + right_val_cols,
+                kind="mergesort",
+                ascending=[True] + [False] * len(right_val_cols),
+                na_position="last",
+            )
+        else:
+            r = r.sort_values(
+                ["__rts"] + right_val_cols, kind="mergesort", na_position="first"
+            )
         kw = {}
         if tol_ns is not None:
             kw["tolerance"] = pd.Timedelta(tol_ns, unit="ns")
