@@ -27,16 +27,20 @@ def _read(spark: SparkSession, path_or_table: str, fmt: str, schema=None) -> Dat
         # micros our writers emit
         if schema is None:
             raise ValueError("csv reads require a declared schema")
+        # FAILFAST: with a declared schema, PERMISSIVE would silently null or
+        # misalign every column when the file's real width/types differ —
+        # violating the declared-schema discipline. Fail loudly instead.
         return (
             spark.read.schema(schema)
             .option("header", "true")
+            .option("mode", "FAILFAST")
             .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")
             .csv(path_or_table)
         )
     if fmt == "json":
         if schema is None:
             raise ValueError("json reads require a declared schema")
-        return spark.read.schema(schema).json(path_or_table)
+        return spark.read.schema(schema).option("mode", "FAILFAST").json(path_or_table)
     raise ValueError(f"unknown table format {fmt!r}")
 
 
@@ -51,6 +55,14 @@ def read_snapshots(
 ) -> DataFrame:
     from pitfeat.schema import SNAPSHOT_WIDTH
 
+    if width is None and fmt in ("csv", "json"):
+        # parquet/iceberg are self-describing so the default width is checked
+        # against the file footer; text formats have NO footer — reading them
+        # with a guessed 16-wide schema would silently null/misalign columns
+        raise ValueError(
+            f"read_snapshots(fmt={fmt!r}) requires an explicit width= — text "
+            "formats carry no schema to validate a default against"
+        )
     df = _read(spark, path_or_table, fmt, snapshots_schema(width or SNAPSHOT_WIDTH))
     if width is not None:
         assert_schema(df, snapshots_schema(width), "feature_snapshots")
