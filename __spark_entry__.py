@@ -122,7 +122,17 @@ def _flagship_with_manifest(
     """Flagship pipeline; returns (result, surviving-feature manifest). The
     manifest is what names each vector slot — consumers derive slot indices
     from it, never from hard-coded positions (VERDICT r1 #7)."""
-    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "event_type", "value")
+    # pre-project the purchase indicator to an int BEFORE the as-of: the only
+    # downstream use of event_type is the cum_purchases CASE, so the string
+    # never needs to ride through the union sort/shuffle (row-width cut,
+    # VERDICT r2 stretch #9)
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_purchase"),
+        "value",
+    )
     snaps = _orders_snapshots(spark, sf_dir)
     j = asof_join(ev, snaps, on="user_id", left_ts="ts", right_ts="snap_ts")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -139,10 +149,7 @@ def _flagship_with_manifest(
             "roll5_value",
             F.sum(F.col("value").cast("decimal(18,2)")).over(wr).cast("double"),
         )
-        .withColumn(
-            "cum_purchases",
-            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(wc),
-        )
+        .withColumn("cum_purchases", F.sum("is_purchase").over(wc))
     )
     feats = ["gap_us", "roll5_value", "cum_purchases", "snap_price"]
     # The stats pass is a separate job, so the joined+windowed stage would run
