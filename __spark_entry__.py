@@ -834,6 +834,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .withColumn("hamming", F.col("hamming").cast("long"))
     )
     q["s3_embedding_neardup"] = s3
+
+    def s4(spark, sf):
+        # IVF ANN with nprobe == nlist: every inverted list is probed, so the
+        # candidate set is the full corpus and the exact-top-k SQL oracle
+        # checks cosines, ranks AND recall (the same provable-recall device
+        # s2 uses). Real deployments probe nprobe << nlist — that path is
+        # pinned by the pytest recall-monotonicity/determinism tests (the
+        # synthetic uniform-sphere embeddings give k-means nothing to cluster,
+        # so partial probes here have no provable recall to oracle against).
+        e = _t(spark, sf, "embeddings")
+        queries_df = e.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = SIM.ivf_topk(e, queries_df, k=5, nlist=16, nprobe=16)
+        return out.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank")
+
+    q["s4_ivf_topk"] = s4
     q["j5_anti_join"] = j5a
     q["o4_except"] = o4e
 
@@ -1225,6 +1242,7 @@ def oracle_sql() -> dict[str, str]:
     # s2 params are sized for recall 1.0 on this corpus, so the ANN result is
     # provably the exact top-k — same oracle as s1 (see queries()::s2 comment)
     o["s2_lsh_topk"] = o["s1_cosine_topk"]
+    o["s4_ivf_topk"] = o["s1_cosine_topk"]
 
     o["s3_embedding_neardup"] = (
         "SELECT vec_id AS id_a, vec_id + 10000 AS id_b, 1.0 AS cosine FROM embeddings"

@@ -223,3 +223,77 @@ def test_multimodal_real_leg_falls_back_on_garbage():
     np.testing.assert_allclose(
         _decode_real(None, "audio"), _decode_stub(None, "audio")
     )
+
+
+# ---------- IVF ANN ----------
+
+
+def test_ivf_topk_exact_when_probing_all_lists(spark):
+    """nprobe == nlist probes every inverted list, so the candidate set is the
+    full corpus and the re-rank is exact: result must equal cosine_topk."""
+    from pitfeat.ops.similarity import cosine_topk, ivf_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sorted(map(tuple, cosine_topk(e, qs, k=5).collect()))
+    got = sorted(map(tuple, ivf_topk(e, qs, k=5, nlist=8, nprobe=8).collect()))
+    assert got == exact
+
+
+def test_ivf_recall_grows_with_nprobe(spark):
+    """The probe knob must behave like IVF: recall vs exact is monotone
+    non-decreasing in nprobe, and results are deterministic across calls
+    (hash-thinned sample + seeded Lloyd => stable centroids)."""
+    from pitfeat.ops.similarity import cosine_topk, ivf_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk(e, qs, k=5).collect()}
+    recalls = []
+    for nprobe in (1, 4, 8):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in ivf_topk(e, qs, k=5, nlist=8, nprobe=nprobe).collect()
+        }
+        recalls.append(len(got & exact) / len(exact))
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0  # nprobe == nlist
+    again = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(e, qs, k=5, nlist=8, nprobe=4).collect()
+    }
+    first = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(e, qs, k=5, nlist=8, nprobe=4).collect()
+    }
+    assert again == first
+
+
+def test_ivf_centroid_reuse_and_null_vectors(spark):
+    """A trained codebook passed via centroids= must skip retraining and give
+    identical results; null/ragged vectors land in list 0 and never crash the
+    assignment kernel."""
+    import numpy as np
+
+    from pitfeat.ops.similarity import _kmeans_centroids, ivf_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    C = _kmeans_centroids(e, "embedding", "vec_id", nlist=8, dim=64, seed=42)
+    assert C.shape == (8, 64)
+    np.testing.assert_allclose(np.linalg.norm(C, axis=1), 1.0)
+    a = sorted(map(tuple, ivf_topk(e, qs, k=5, nlist=8, nprobe=8).collect()))
+    b = sorted(map(tuple, ivf_topk(e, qs, k=5, nlist=8, nprobe=8, centroids=C).collect()))
+    assert a == b
+
+    withnull = e.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame([(99_999, None)], "vec_id long, embedding array<double>")
+    )
+    out = ivf_topk(withnull, qs, k=5, nlist=8, nprobe=8).collect()
+    assert sorted(map(tuple, out)) == a  # null vector scores 0, never top-5
