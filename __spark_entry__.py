@@ -156,9 +156,11 @@ def _flagship_with_manifest(
     # twice. Cut it at a written checkpoint (temp parquet here; S3/Iceberg in
     # a real pipeline) instead of persist(): nothing stays pinned in executor
     # memory after the call, which an unreleased persist() would (VERDICT r1).
-    import tempfile
+    from pitfeat.ops.dedup import _scratch_dir
 
-    cut = tempfile.mkdtemp(prefix="pitfeat_flagship_cut_")
+    # _scratch_dir: local-master-only temp with process-exit cleanup; a real
+    # pipeline passes a shared checkpoint path here (S3/checkpoint.py)
+    cut = _scratch_dir(out, None, "pitfeat_flagship_cut_")
     # project to keys + features before the cut: the checkpoint carries only
     # what the stats pass and final projection read (smaller write AND read)
     out = out.select("user_id", "event_id", "ts", *feats)
@@ -714,11 +716,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # S5 DATABLOCK reblock through the real mapInArrow path: block count
         # and row conservation are SQL-checkable (ceil(n/4096) blocks, n rows);
         # exact per-block shapes are pytest-verified (tests/test_datablock.py)
-        import tempfile
-
         from pitfeat.ops.datablock import write_datablocks
+        from pitfeat.ops.dedup import _scratch_dir
 
-        out = tempfile.mkdtemp(prefix="pitfeat_s5_")
+        out = _scratch_dir(_events(spark, sf), None, "pitfeat_s5_")
         ev = _events(spark, sf).select("event_id", "user_id", "value").repartition(1)
         res = write_datablocks(ev, out, rows_per_block=4096)
         return res.select("n_blocks", "n_rows")
