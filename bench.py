@@ -46,6 +46,7 @@ HEADLINE = [
     "d2_minhash_lsh",
     "s1_cosine_topk",
     "s2_lsh_topk",
+    "s4_ivf_topk",
     "t3_quality",
 ]
 
