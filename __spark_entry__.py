@@ -820,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # o4_except~o4_intersect, w8 planted-dup identity, v2 self-compare), so
     # whatever a cap drops loses the least evidence.
     q["j1_asof_cogroup"] = _asof_query("cogroup")
+    q["j1_asof_nearest"] = _asof_query("cogroup", direction="nearest")
     q["a5_distinct"] = lambda spark, sf: (
         _events(spark, sf).agg(
             F.countDistinct("user_id").alias("n_users"),
@@ -912,6 +913,27 @@ def oracle_sql() -> dict[str, str]:
 
     o["j1_asof_backward"] = _asof_oracle(">=")
     o["j1_asof_cogroup"] = _asof_oracle(">=")
+    # nearest: DuckDB ASOF JOIN has no nearest direction, so rank candidates
+    # by |delta-t| with the preceding row preferred on equidistant ties (the
+    # pandas rule the kernel matches); snaps are already deduped per
+    # (user_id, snap_ts), so no further tie-break is reachable
+    o["j1_asof_nearest"] = f"""
+        WITH snaps AS ({_SNAP_SQL}),
+        best AS (
+            SELECT * FROM (
+                SELECT e.event_id AS eid, s.snap_ts, s.snap_price,
+                    row_number() OVER (
+                        PARTITION BY e.event_id
+                        ORDER BY abs(epoch_us(e.ts) - epoch_us(s.snap_ts)),
+                                 CASE WHEN s.snap_ts <= e.ts THEN 0 ELSE 1 END
+                    ) AS rn
+                FROM events e JOIN snaps s ON e.user_id = s.user_id
+            ) WHERE rn = 1
+        )
+        SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+               epoch_us(b.snap_ts) AS snap_ts_us, b.snap_price
+        FROM events e LEFT JOIN best b ON b.eid = e.event_id
+    """
     o["j1_asof_merge"] = _asof_oracle(">=")
     o["j1_asof_strict"] = _asof_oracle(">")
     o["j2_asof_salted"] = _asof_oracle(">=")

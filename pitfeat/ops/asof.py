@@ -38,9 +38,10 @@ keys, so the choice is deterministic and identical across window/cogroup/
 merge, instead of "whatever the unstable shuffle order produced". Callers
 wanting a different resolution should pre-dedup the right side.
 
-Oracle parity: semantics match ``pandas.merge_asof(direction='backward',
-allow_exact_matches=..., tolerance=...)`` and DuckDB ``ASOF JOIN`` — both are
-used as test oracles.
+Oracle parity: semantics match ``pandas.merge_asof(direction=...,
+allow_exact_matches=..., tolerance=...)`` (backward/forward/nearest) and
+DuckDB ``ASOF JOIN`` (backward/forward; nearest via a rank-by-|Δt| window
+oracle) — both are used as test oracles.
 """
 
 from __future__ import annotations
@@ -95,7 +96,9 @@ def asof_join(
     """Point-in-time join: attach to each left row the single right row with
     the greatest ``right_ts <= left_ts`` (strict ``<`` when
     ``allow_exact=False``; earliest-following when ``direction='forward'``,
-    cogroup strategy only). Left-outer: unmatched rows keep nulls.
+    closest-in-time when ``direction='nearest'`` (equidistant resolves to the
+    preceding row, matching pandas) — both cogroup strategy only).
+    Left-outer: unmatched rows keep nulls.
 
     Parameters beyond the obvious:
     - ``tolerance_s``: staleness bound — a match older than this many seconds
@@ -112,8 +115,10 @@ def asof_join(
       rows-per-key size above which one task's sort becomes the straggler
       (PitfeatConfig.hot_key_threshold wires 5M).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     if strategy == "window":
         if direction != "backward":
             raise ValueError("window strategy implements backward direction only")
@@ -341,6 +346,17 @@ def _asof_cogroup(
                 ascending=[True] + [False] * len(right_val_cols),
                 na_position="last",
             )
+        elif direction == "nearest":
+            # nearest keeps the LAST tie on the backward side but the FIRST
+            # on the forward side, so no single sort order yields the
+            # greatest-tuple rule on both sides. Instead: pre-dedup right
+            # rows per (key, ts) to the greatest value tuple — after which
+            # pandas' side rules have nothing left to choose between, and
+            # only its documented equidistant rule (prefer preceding) acts.
+            r = r.sort_values(
+                ["__rts"] + right_val_cols, kind="mergesort", na_position="first"
+            )
+            r = r.drop_duplicates(subset=[on, "__rts"], keep="last")
         else:
             r = r.sort_values(
                 ["__rts"] + right_val_cols, kind="mergesort", na_position="first"

@@ -20,6 +20,7 @@ def asof_oracle(
     right_ts: str = "snap_ts",
     allow_exact: bool = True,
     tolerance_s: float | None = None,
+    direction: str = "backward",
 ) -> pd.DataFrame:
     l = left.sort_values(left_ts, kind="mergesort").reset_index(drop=True)
     r = right.sort_values(right_ts, kind="mergesort").reset_index(drop=True)
@@ -32,7 +33,7 @@ def asof_oracle(
         left_on=left_ts,
         right_on=right_ts,
         by=on,
-        direction="backward",
+        direction=direction,
         allow_exact_matches=allow_exact,
         **kw,
     )

@@ -171,3 +171,39 @@ def test_targeted_salting_equals_unsalted_cogroup(transcripts, snapshots):
         )
     )
     pd.testing.assert_frame_equal(base, targeted)
+
+
+def test_nearest_matches_pandas(transcripts, snapshots, transcripts_pd, snapshots_pd):
+    """direction='nearest' (cogroup) against the pandas merge_asof oracle."""
+    out = _collect_sorted(
+        asof_join(transcripts, snapshots, strategy="cogroup", direction="nearest")
+    )
+    oracle = asof_oracle(transcripts_pd, snapshots_pd, direction="nearest")
+    _assert_matches_oracle(out, oracle)
+
+
+def test_nearest_duplicates_and_equidistant_deterministic(spark):
+    """nearest must (a) resolve duplicate right rows at one (key, ts) to the
+    GREATEST value tuple whichever side of the left ts they fall on (the
+    kernel pre-dedups the right side — pandas' own side-dependent tie rules
+    never see a duplicate), and (b) prefer the PRECEDING row when two
+    distinct timestamps are equidistant (the pandas rule)."""
+    import datetime as dt
+
+    t13 = dt.datetime(2024, 1, 1, 13, 0, 0)
+    left = spark.createDataFrame([("c1", t13), ("c2", t13)], "conv_id string, ts timestamp")
+    t12, t14 = dt.datetime(2024, 1, 1, 12, 0, 0), dt.datetime(2024, 1, 1, 14, 0, 0)
+    right = spark.createDataFrame(
+        [
+            # c1: duplicates strictly AFTER the left ts (forward side)
+            ("c1", t14, 10.0), ("c1", t14, 30.0), ("c1", t14, 20.0),
+            # c2: equidistant before/after -> preceding (5.0) must win
+            ("c2", t12, 5.0), ("c2", t14, 7.0),
+        ],
+        "conv_id string, snap_ts timestamp, val double",
+    )
+    out = {
+        r["conv_id"]: r["val"]
+        for r in asof_join(left, right, strategy="cogroup", direction="nearest").collect()
+    }
+    assert out == {"c1": 30.0, "c2": 5.0}
