@@ -136,6 +136,63 @@ if HAVE_HYPOTHESIS:
         )
 
 
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        lefts=st.lists(st.tuples(_key, _ts), min_size=1, max_size=20),
+        rights=st.lists(st.tuples(_key, _ts, st.floats(0, 100, allow_nan=False)), max_size=20),
+        direction=st.sampled_from(["backward", "forward", "nearest"]),
+    )
+    def test_asof_cogroup_directions_property(spark, lefts, rights, direction):
+        """All three cogroup directions equal pandas.merge_asof on arbitrary
+        small frames (duplicates-free right side, so only the search
+        semantics — not the tie rules — are in play)."""
+        base = dt.datetime(2024, 1, 1)
+        lpdf = pd.DataFrame(
+            {
+                "conv_id": [k for k, _ in lefts],
+                "ts": [base + dt.timedelta(seconds=t) for _, t in lefts],
+            }
+        )
+        seen = set()
+        rrows = []
+        for k, t, v in rights:
+            if (k, t) not in seen:
+                seen.add((k, t))
+                rrows.append((k, base + dt.timedelta(seconds=t), v))
+        rpdf = pd.DataFrame(rrows, columns=["conv_id", "snap_ts", "val"]).astype(
+            {"snap_ts": "datetime64[ns]", "val": "float64"}
+        )
+        ldf = spark.createDataFrame(lpdf)
+        rdf = (
+            spark.createDataFrame(rpdf)
+            if len(rpdf)
+            else spark.createDataFrame([], "conv_id string, snap_ts timestamp, val double")
+        )
+        got = (
+            asof_join(ldf, rdf, strategy="cogroup", direction=direction)
+            .toPandas()
+            .sort_values(["conv_id", "ts"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        want = pd.merge_asof(
+            lpdf.sort_values("ts", kind="mergesort"),
+            rpdf.sort_values("snap_ts", kind="mergesort"),
+            left_on="ts",
+            right_on="snap_ts",
+            by="conv_id",
+            direction=direction,
+        ).sort_values(["conv_id", "ts"], kind="mergesort").reset_index(drop=True)
+        assert len(got) == len(want)
+        pd.testing.assert_series_equal(got["snap_ts"], want["snap_ts"], check_names=False)
+        pd.testing.assert_series_equal(
+            got["val"].astype(float), want["val"].astype(float), check_names=False
+        )
+
+
 # --------------------------------------------------------------------------
 # fused LSH-signature kernel (similarity._table_sigs_udf) vs expression path
 # --------------------------------------------------------------------------

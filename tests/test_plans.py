@@ -76,3 +76,26 @@ def test_no_persisted_rdds_leak(spark, transcripts, snapshots):
     j.count()
     after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     assert after == before, f"leaked persisted RDDs: {after - before}"
+
+
+def test_ann_plans_have_no_rowwise_python(spark):
+    """s2 (LSH) and s4 (IVF) assignment kernels must plan as Arrow-batched
+    pandas UDFs (ArrowEvalPython), never row-at-a-time BatchEvalPython, and
+    the probe/bucket joins must broadcast the query side."""
+    import numpy as np
+
+    from pitfeat.ops.similarity import ivf_topk, lsh_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    C = np.eye(8, 64)  # fixed codebook: keeps the plan free of the training job
+    for out in (
+        lsh_topk(e, qs, k=5, nbits=1, tables=4),
+        ivf_topk(e, qs, k=5, nlist=8, nprobe=2, centroids=C),
+    ):
+        plan = _plan(out)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" in plan
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
