@@ -84,8 +84,13 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     row per bucket). At 128 bits the expectation is n^2/2^129 ≈ 1.5x10^-15:
     zero for any physical corpus."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    # seed constant FIRST: Spark folds multi-arg xxhash64 left-to-right with
+    # the accumulated hash as the next seed, so xxhash64(norm, lit) would be
+    # a pure function of xxhash64(norm) — a fake second hash that collides
+    # exactly when the first does. lit-first gives X(norm, seed=X(lit, 42)),
+    # a genuinely different fixed seed.
     h = df.withColumn("__fp1", F.xxhash64(norm)).withColumn(
-        "__fp2", F.xxhash64(norm, F.lit(0x9E3779B9).cast("long"))
+        "__fp2", F.xxhash64(F.lit(0x9E3779B9).cast("long"), norm)
     )
     keep = h.groupBy("__fp1", "__fp2").agg(F.min(id_col).alias(id_col))
     return h.join(keep, ["__fp1", "__fp2", id_col], "left_semi").drop("__fp1", "__fp2")

@@ -64,6 +64,10 @@ def _decode_real(payload: bytes, kind: str) -> np.ndarray:
 
     try:
         if kind == "image":
+            # import errors must RAISE (not stub-fallback): the driver probed
+            # the libs present, so a missing lib here means a heterogeneous
+            # cluster image — silently mixing real and stub features across
+            # executors would be a non-deterministic-data bug
             import PIL.Image
 
             img = PIL.Image.open(io.BytesIO(payload)).convert("L").resize((8, 8))
@@ -86,6 +90,12 @@ def _decode_real(payload: bytes, kind: str) -> np.ndarray:
                 float((px > px.mean()).mean()),
                 float({"image": 1.0, "audio": 2.0, "video": 3.0}.get(kind, 0.0)),
             ]
+        )
+    except ImportError:
+        raise ImportError(
+            "media codec libs present on the driver but missing in this "
+            "executor's image — install them cluster-wide (mixing real and "
+            "stub decode across executors would corrupt features silently)"
         )
     except Exception:
         # undecodable payload (synthetic bytes, truncation): deterministic
@@ -126,8 +136,13 @@ def decode_features(df: DataFrame, out_width: int = 8) -> DataFrame:
     )
     cols = [f.name for f in out_schema.fields if f.name != "media_features"]
 
+    # resolve the decode leg ON THE DRIVER and capture it in the closure:
+    # executors must not re-probe (module import runs per worker process, so
+    # per-process probing could mix real and stub features across a
+    # heterogeneous cluster)
+    decode = _decode_real if REAL_DECODE else _decode_stub
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decode = _decode_real if REAL_DECODE else _decode_stub
         for pdf in batches:
             feats = [
                 decode(p, k)

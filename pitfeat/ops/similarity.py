@@ -35,6 +35,32 @@ def with_cosine(df: DataFrame, col_a: str, col_b: str, out: str = "cosine") -> D
     return df.withColumn(out, F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(0.0)))
 
 
+
+
+def _score_and_rank(
+    joined: DataFrame, k: int, id_col: str, query_id_col: str,
+    corpus_vec: str = "__cv", query_vec: str = "__qv",
+) -> DataFrame:
+    """Shared exact-cosine re-rank tail for cosine_topk/lsh_topk/ivf_topk —
+    ONE definition so tie-breaks (cosine desc, id asc) and the zero-denominator
+    rule can never silently diverge between the exact and ANN paths."""
+    from pyspark.sql import Window
+
+    denom = _norm(F.col(corpus_vec)) * _norm(F.col(query_vec))
+    scored = joined.withColumn(
+        "cosine",
+        F.when(denom > 0, _dot(F.col(corpus_vec), F.col(query_vec)) / denom).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -46,26 +72,13 @@ def cosine_topk(
     """Exact brute-force cosine top-k: broadcast the query set, score every
     (query, corpus) pair JVM-side, window-rank to k. O(|corpus| x |queries|)
     compute but zero Python and one shuffle (the rank)."""
-    from pyspark.sql import Window
-
     # cast to double arrays: float32 products drift ~1e-7/term vs any
     # double-math oracle, and mixed-precision cosine is simply less accurate
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qv")
     )
     c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv"))
-    scored = c.crossJoin(F.broadcast(q))
-    denom = _norm(F.col("__cv")) * _norm(F.col("__qv"))
-    scored = scored.withColumn(
-        "cosine",
-        F.when(denom > 0, _dot(F.col("__cv"), F.col("__qv")) / denom).otherwise(F.lit(0.0)),
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", "rank")
-    )
+    return _score_and_rank(c.crossJoin(F.broadcast(q)), k, id_col, query_id_col)
 
 
 def _hyperplane_component(seed: int, bit: int, j: int) -> float:
@@ -207,8 +220,6 @@ def lsh_topk(
     """ANN top-k: bucket join on multi-table LSH signatures, exact cosine
     re-rank inside buckets. Recall < 1.0 by design; raise ``tables`` (recall)
     or ``nbits`` (precision/cost), or fall back to cosine_topk for exactness."""
-    from pyspark.sql import Window
-
     c = _multi_table_buckets(
         corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv")),
         "__cv", nbits, tables, dim, seed,
@@ -218,17 +229,7 @@ def lsh_topk(
         "__qv", nbits, tables, dim, seed,
     )
     joined = c.join(F.broadcast(q), ["tbl", "bucket"]).dropDuplicates([id_col, query_id_col])
-    denom = _norm(F.col("__cv")) * _norm(F.col("__qv"))
-    scored = joined.withColumn(
-        "cosine",
-        F.when(denom > 0, _dot(F.col("__cv"), F.col("__qv")) / denom).otherwise(F.lit(0.0)),
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", "rank")
-    )
+    return _score_and_rank(joined, k, id_col, query_id_col)
 
 
 def embedding_near_dup_pairs(
@@ -404,8 +405,8 @@ def ivf_topk(
     and the re-rank of probed lists. Never an all-pairs product. Pass
     ``centroids`` (numpy (nlist, dim)) to reuse a trained codebook across
     calls/corpora — e.g. train once, assign daily increments."""
-    from pyspark.sql import Window
-
+    if not 1 <= nprobe <= nlist:
+        raise ValueError(f"nprobe must be in [1, nlist={nlist}], got {nprobe}")
     c_base = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv"))
     C = (
         centroids
@@ -420,14 +421,4 @@ def ivf_topk(
         .withColumn("list_id", F.explode(_ivf_lists_udf(C, dim, nprobe)(F.col("__qv"))))
     )
     joined = c.join(F.broadcast(q), "list_id").dropDuplicates([id_col, query_id_col])
-    denom = _norm(F.col("__cv")) * _norm(F.col("__qv"))
-    scored = joined.withColumn(
-        "cosine",
-        F.when(denom > 0, _dot(F.col("__cv"), F.col("__qv")) / denom).otherwise(F.lit(0.0)),
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", "rank")
-    )
+    return _score_and_rank(joined, k, id_col, query_id_col)

@@ -90,6 +90,9 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp64") ->
     n^2/2^65 collisions — ≈2.7x10^4 silently-merged distinct docs at n=10^12;
     the 128-bit pair expects ≈1.5x10^-15 (zero for any physical corpus)."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    # lit FIRST: xxhash64 folds left-to-right with the running hash as seed,
+    # so lit-last would make this column a pure function of out_col (collides
+    # exactly when it does); lit-first = a genuinely different fixed seed
     return df.withColumn(out_col, F.xxhash64(norm)).withColumn(
-        f"{out_col}b", F.xxhash64(norm, F.lit(0x9E3779B9).cast("long"))
+        f"{out_col}b", F.xxhash64(F.lit(0x9E3779B9).cast("long"), norm)
     )

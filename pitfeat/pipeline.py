@@ -59,13 +59,25 @@ class Pipeline:
 
     # ---- J1 ----
     def asof_snapshots(
-        self, snapshots: "str | DataFrame", feature_cols: list[str] | None = None
+        self,
+        snapshots: "str | DataFrame",
+        feature_cols: list[str] | None = None,
+        width: int | None = None,
     ) -> "Pipeline":
-        snaps = (
-            read_snapshots(self.spark, snapshots, self.cfg.table_format)
-            if isinstance(snapshots, str)
-            else snapshots
-        )
+        if isinstance(snapshots, str):
+            if width is None and self.cfg.table_format in ("csv", "json"):
+                # text formats carry no footer schema; read_snapshots demands
+                # an explicit width there — default to the engine-wide fixed
+                # width so the previously-working default path keeps working
+                # (a real mismatch still fails loudly via FAILFAST)
+                from pitfeat.schema import SNAPSHOT_WIDTH
+
+                width = SNAPSHOT_WIDTH
+            snaps = read_snapshots(
+                self.spark, snapshots, self.cfg.table_format, width=width
+            )
+        else:
+            snaps = snapshots
         fcols = feature_cols or [c for c in snaps.columns if c.startswith("f_")]
         joined = asof_join(
             self.df,

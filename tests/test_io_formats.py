@@ -175,3 +175,19 @@ def test_iceberg_paths_reach_v2_writer(spark, transcripts, monkeypatch):
     out = read_transcripts(spark, "cat.db.transcripts", fmt="iceberg")
     assert reads == {"fmt": "iceberg", "path": "cat.db.transcripts"}
     assert out.columns == transcripts.columns
+
+
+def test_pipeline_csv_snapshots_default_width(spark, transcripts, snapshots, tmp_path):
+    """Pipeline.asof_snapshots must still read text-format snapshots at the
+    engine's default width (read_snapshots requires width for csv/json; the
+    Pipeline supplies SNAPSHOT_WIDTH when the caller doesn't)."""
+    from pitfeat.config import PitfeatConfig
+    from pitfeat.pipeline import Pipeline
+
+    p = str(tmp_path / "snaps_csv")
+    snapshots.coalesce(1).write.mode("overwrite").option("header", "true").option(
+        "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    ).csv(p)
+    cfg = PitfeatConfig(table_format="csv")
+    out = Pipeline.from_df(spark, transcripts, cfg).asof_snapshots(p).df
+    assert out.count() == transcripts.count()

@@ -210,19 +210,27 @@ def test_multimodal_decode_self_activation():
     assert M.REAL_DECODE == libs_present
 
 
-def test_multimodal_real_leg_falls_back_on_garbage():
-    """The real-decode kernel must never kill a task on undecodable bytes:
-    synthetic payloads fall through to the deterministic stub (same output
-    either way in this container, where codec libs are absent)."""
-    from pitfeat.ops.multimodal import _decode_real, _decode_stub
+def test_multimodal_real_leg_fallback_and_loud_import_errors():
+    """The real-decode leg must (a) fall back to the deterministic stub on
+    undecodable payloads — never kill a task on bad bytes — but (b) RAISE on
+    a missing codec lib: the driver probed the libs, so an executor-side
+    ImportError means a heterogeneous cluster image, and silently stubbing
+    there would mix real and stub features in one output. Video always stubs
+    (no ffmpeg binding probed)."""
+    import pitfeat.ops.multimodal as M
 
     payload = bytes(range(64))
     np.testing.assert_allclose(
-        _decode_real(payload, "image"), _decode_stub(payload, "image")
+        M._decode_real(payload, "video"), M._decode_stub(payload, "video")
     )
-    np.testing.assert_allclose(
-        _decode_real(None, "audio"), _decode_stub(None, "audio")
-    )
+    if M.REAL_DECODE:
+        np.testing.assert_allclose(
+            M._decode_real(b"not-an-image", "image"),
+            M._decode_stub(b"not-an-image", "image"),
+        )
+    else:  # this sandbox: libs absent -> the loud path
+        with pytest.raises(ImportError, match="cluster-wide"):
+            M._decode_real(payload, "image")
 
 
 # ---------- IVF ANN ----------
