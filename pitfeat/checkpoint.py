@@ -97,7 +97,12 @@ def write_checkpoint(
     return lineage
 
 
-def checkpoint_valid(ckpt_dir: str, config_hash: str, inputs: list[str] | None = None) -> bool:
+def checkpoint_valid(
+    ckpt_dir: str,
+    config_hash: str,
+    inputs: list[str] | None = None,
+    stage: str | None = None,
+) -> bool:
     if not os.path.exists(os.path.join(ckpt_dir, MARKER)):
         return False
     try:
@@ -106,6 +111,11 @@ def checkpoint_valid(ckpt_dir: str, config_hash: str, inputs: list[str] | None =
     except (OSError, json.JSONDecodeError):
         return False
     if lin.get("config_hash") != config_hash:
+        return False
+    # stage must match when asked for: config_hash is per-CONFIG, identical
+    # across stages, so without this check resume_or_compute('normalize')
+    # would happily return a 'features' checkpoint written to the same dir
+    if stage is not None and lin.get("stage") != stage:
         return False
     if inputs is not None and lin.get("inputs") != sorted(inputs):
         return False
@@ -123,7 +133,7 @@ def resume_or_compute(
 ) -> tuple[DataFrame, bool]:
     """Returns (df, resumed). ``resumed=True`` means the checkpoint was read
     instead of recomputing the stage."""
-    if checkpoint_valid(ckpt_dir, config_hash, inputs):
+    if checkpoint_valid(ckpt_dir, config_hash, inputs, stage=stage):
         return spark.read.parquet(os.path.join(ckpt_dir, "data")), True
     df = fn()
     write_checkpoint(df, ckpt_dir, stage, config_hash, inputs, partition_by)

@@ -55,6 +55,21 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _orderable(dt: T.DataType) -> bool:
+    """Spark can sort by most types but not maps (at any nesting level);
+    unorderable columns are excluded from duplicate-tie-break SORT KEYS only
+    (they still flow through the join untouched). Duplicates differing ONLY
+    in an unorderable column therefore resolve arbitrarily-but-consistently
+    by the remaining keys — documented limitation."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    return True
+
+
 def _result_schema(left: DataFrame, right: DataFrame, on: str, right_ts: str) -> T.StructType:
     fields = list(left.schema.fields)
     taken = {f.name for f in fields}
@@ -119,6 +134,15 @@ def asof_join(
         raise ValueError(
             f"direction must be backward|forward|nearest, got {direction!r}"
         )
+    # SQL-join null semantics, uniform across strategies: a right row with a
+    # NULL key or NULL timestamp can never be "a snapshot at a known time for
+    # a known entity" — previously the window/merge strategies forward-filled
+    # such rows into real matches (an unknowable-age snapshot enriching a
+    # feature row = leakage-contract violation) and cogroup's merge_asof
+    # CRASHED on them. Left rows with NULL key/ts stay (left-outer: they come
+    # back with null right columns — the null-key window partition and the
+    # null pandas groupby key both find an empty right side after this).
+    right = right.where(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
     if strategy == "window":
         if direction != "backward":
             raise ValueError("window strategy implements backward direction only")
@@ -254,10 +278,18 @@ def _asof_window(
 
     # __rv as the final sort key: right rows tied on (key, ts) order by their
     # value struct (Spark structs are orderable), so last(ignorenulls) picks
-    # the greatest value tuple — deterministic, and free (no extra shuffle)
+    # the greatest value tuple — deterministic, and free (no extra shuffle).
+    # If any value column is unorderable (maps), sort by the orderable subset
+    # instead of failing the whole join (_orderable docstring).
+    ord_cols = [c for c in right_val_cols if _orderable(typ[c])]
+    rv_sort = (
+        F.col("__rv")
+        if ord_cols == right_val_cols
+        else F.struct(*[F.col("__rv")[c] for c in ord_cols])
+    )
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__t").asc(), F.col("__tag").asc(), F.col("__rv").asc())
+        .orderBy(F.col("__t").asc(), F.col("__tag").asc(), rv_sort.asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(
@@ -312,6 +344,10 @@ def _asof_cogroup(
     out_schema = _result_schema(left, right, on, right_ts)
     left_cols = [f.name for f in left.schema.fields]
     right_val_cols = [f.name for f in right.schema.fields if f.name != on]
+    # tie-break sort keys: orderable columns only (maps are unsortable in
+    # pandas too — dict comparisons raise); values still flow through
+    rtyp = {f.name: f.dataType for f in right.schema.fields}
+    ord_val_cols = [c for c in right_val_cols if _orderable(rtyp[c])]
     out_names = [f.name for f in out_schema.fields]
     tol_ns = None if tolerance_s is None else int(tolerance_s * 1e9)
 
@@ -332,6 +368,17 @@ def _asof_cogroup(
         r = rpdf[["__rk"] + right_val_cols].rename(columns={"__rk": on})
         l["__lts"] = pd.to_datetime(l[left_ts]).astype("datetime64[ns]")
         r["__rts"] = pd.to_datetime(r[right_ts]).astype("datetime64[ns]")
+        # left rows with NULL ts: merge_asof refuses null merge keys (it
+        # would abort the whole job); route them around the merge and emit
+        # them left-outer style with null right columns, matching what the
+        # window/merge strategies produce for the same rows
+        lnull = l[l["__lts"].isna()]
+        l = l[l["__lts"].notna()]
+        if len(l) == 0:
+            out = lnull.drop(columns="__lts")
+            for c in right_val_cols:
+                out[c] = pd.NaT if c == right_ts else np.nan
+            return out[out_names]
         l = l.sort_values("__lts", kind="mergesort")
         # value columns as trailing sort keys so duplicate right rows at equal
         # (key, ts) resolve to the GREATEST value tuple in both directions:
@@ -341,9 +388,9 @@ def _asof_cogroup(
         # forward picked the SMALLEST tuple (ADVICE r2).
         if direction == "forward":
             r = r.sort_values(
-                ["__rts"] + right_val_cols,
+                ["__rts"] + ord_val_cols,
                 kind="mergesort",
-                ascending=[True] + [False] * len(right_val_cols),
+                ascending=[True] + [False] * len(ord_val_cols),
                 na_position="last",
             )
         elif direction == "nearest":
@@ -354,12 +401,12 @@ def _asof_cogroup(
             # pandas' side rules have nothing left to choose between, and
             # only its documented equidistant rule (prefer preceding) acts.
             r = r.sort_values(
-                ["__rts"] + right_val_cols, kind="mergesort", na_position="first"
+                ["__rts"] + ord_val_cols, kind="mergesort", na_position="first"
             )
             r = r.drop_duplicates(subset=[on, "__rts"], keep="last")
         else:
             r = r.sort_values(
-                ["__rts"] + right_val_cols, kind="mergesort", na_position="first"
+                ["__rts"] + ord_val_cols, kind="mergesort", na_position="first"
             )
         kw = {}
         if tol_ns is not None:
@@ -374,7 +421,13 @@ def _asof_cogroup(
             allow_exact_matches=allow_exact,
             **kw,
         )
-        return out[out_names]
+        out = out[out_names]
+        if len(lnull):
+            extra = lnull.drop(columns="__lts")
+            for c in right_val_cols:
+                extra[c] = pd.NaT if c == right_ts else np.nan
+            out = pd.concat([out, extra[out_names]], ignore_index=True)
+        return out
 
     if n_buckets is None:
         sc = left.sparkSession.sparkContext
@@ -457,8 +510,9 @@ def _asof_merge(
     # value columns as trailing sort keys => among right rows tied on
     # (key, ts) the ffill takes the last = greatest value tuple (see module
     # docstring); also makes the partition stream fully deterministic
+    ord_cols = [c for c in right_val_cols if _orderable(typ[c])]
     staged = unioned.repartitionByRange(F.col(on)).sortWithinPartitions(
-        on, "__t", "__tag", *right_val_cols
+        on, "__t", "__tag", *ord_cols
     )
 
     out_names = [f.name for f in out_schema.fields]

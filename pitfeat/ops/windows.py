@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 KEY = "conv_id"
 ORD = "turn_idx"
@@ -173,9 +174,27 @@ def role_ngrams(
     return out
 
 
+def _det_tiebreak(df: DataFrame, exclude: tuple[str, ...]):
+    """Deterministic last-resort sort key: xxhash64 over every remaining
+    hashable column. Without it, row_number over a non-total order picks a
+    winner by shuffle arrival order — different runs (or parallelism levels)
+    keep different rows, breaking the cross-parallelism determinism checksum.
+    Maps are excluded (Spark refuses to hash them by default)."""
+    cols = [
+        f.name
+        for f in df.schema.fields
+        if f.name not in exclude and not isinstance(f.dataType, T.MapType)
+    ]
+    return F.xxhash64(*[F.col(c) for c in cols]) if cols else F.lit(0)
+
+
 def dedup_turns(df: DataFrame, key: str = KEY, order: str = ORD, ts: str = TS) -> DataFrame:
-    """W8: enforce (conv_id, turn_idx) uniqueness — keep the earliest-ts row."""
-    w = Window.partitionBy(key, order).orderBy(F.col(ts).asc())
+    """W8: enforce (conv_id, turn_idx) uniqueness — keep the earliest-ts row;
+    equal-ts duplicates resolve by a content hash so the winner is the same
+    at any parallelism."""
+    w = Window.partitionBy(key, order).orderBy(
+        F.col(ts).asc(), _det_tiebreak(df, (key, order, ts)).asc()
+    )
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
@@ -256,9 +275,10 @@ def prev_session_features(
 def top_k_per_group(
     df: DataFrame, order_col: str, k: int, desc: bool = True, key: str = KEY
 ) -> DataFrame:
-    """W10: k rows per group by order_col."""
+    """W10: k rows per group by order_col; ties resolve by a content hash so
+    the selected k are identical at any parallelism."""
     o = F.col(order_col).desc() if desc else F.col(order_col).asc()
-    w = Window.partitionBy(key).orderBy(o)
+    w = Window.partitionBy(key).orderBy(o, _det_tiebreak(df, (key, order_col)).asc())
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)

@@ -99,6 +99,11 @@ def _pit_state_kernel(pdf, carried, key_name, extras, feats, max_hist=128):
     snap_cols = ["snap_t_us"] + list(feats)
     is_snap = pdf["is_snap"].to_numpy() == 1
     snaps = pdf.loc[is_snap, snap_cols].to_numpy(dtype=float)
+    if len(snaps):
+        # a NULL snap_ts arrives as NaN: unknowable-age snapshots can never
+        # match (same rule as batch asof_join) and would poison the state
+        # (int(NaN) raises on persist => a permanently re-failing micro-batch)
+        snaps = snaps[~np.isnan(snaps[:, 0])]
     if carried is not None:
         hist = np.column_stack([np.asarray(x, dtype=float) for x in carried])
         snaps = np.vstack([hist, snaps]) if len(snaps) else hist
@@ -113,8 +118,13 @@ def _pit_state_kernel(pdf, carried, key_name, extras, feats, max_hist=128):
     out = turns[[key_name, *extras, "t_us"]].reset_index(drop=True)
     gathered = np.full((len(out), len(snap_cols)), np.nan)
     if len(snaps) and len(out):
-        idx = np.searchsorted(snaps[:, 0], turns["t_us"].to_numpy(dtype="int64"), side="right") - 1
-        have = idx >= 0
+        # float path tolerates NULL turn ts (NaN): searchsorted places NaN
+        # after every real ts, but the valid-mask keeps such turns unmatched
+        # instead of raising in the int64 conversion
+        t = turns["t_us"].to_numpy(dtype=float)
+        ok = ~np.isnan(t)
+        idx = np.searchsorted(snaps[:, 0], t, side="right") - 1
+        have = ok & (idx >= 0)
         gathered[have] = snaps[idx[have]]
     for i, c in enumerate(snap_cols):
         out[c] = gathered[:, i]

@@ -80,3 +80,101 @@ def test_explicit_null_resurrection_case(spark):
         row = asof_join(left, right, strategy=strategy).collect()[0]
         assert row["snap_ts"] == pd.Timestamp("2024-01-01 09:00:00"), strategy
         assert row["f"] is None or (isinstance(row["f"], float) and np.isnan(row["f"])), strategy
+
+
+def test_null_right_ts_never_matches(spark):
+    """A right row with NULL snap_ts has unknowable age and must NEVER be
+    forward-filled into a match (it previously was, under window and merge —
+    including through the tolerance stale-check, which nulls out of a NULL
+    timestamp comparison). Every strategy must agree: only the real s(2024-01-01
+    08:00) snapshot matches."""
+    left = spark.createDataFrame(
+        pd.DataFrame({"conv_id": ["b"], "ts": [pd.Timestamp("2024-01-01 09:00:00")]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["b", "b"],
+                "snap_ts": [pd.NaT, pd.Timestamp("2024-01-01 08:00:00")],
+                "f": [7.0, 2.0],
+            }
+        )
+    )
+    for strategy in ("window", "cogroup", "merge"):
+        for tol in (None, 5 * 3600.0):
+            row = asof_join(left, right, strategy=strategy, tolerance_s=tol).collect()[0]
+            assert row["f"] == 2.0, (strategy, tol)
+            assert row["snap_ts"] == pd.Timestamp("2024-01-01 08:00:00"), (strategy, tol)
+
+
+def test_null_left_ts_left_outer_not_crash(spark):
+    """A left row with NULL ts is a data-quality case, not a job-killer: it
+    must come back with null right columns under every strategy (cogroup
+    previously aborted the whole join — merge_asof refuses null merge keys)."""
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["c", "c"],
+                "ts": [pd.NaT, pd.Timestamp("2024-01-01 09:00:00")],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["c"],
+                "snap_ts": [pd.Timestamp("2024-01-01 08:00:00")],
+                "f": [3.0],
+            }
+        )
+    )
+    for strategy in ("window", "cogroup", "merge"):
+        rows = {
+            (r["ts"] is not None): r for r in asof_join(left, right, strategy=strategy).collect()
+        }
+        assert len(rows) == 2, strategy
+        assert rows[True]["f"] == 3.0, strategy
+        good = rows[False]
+        assert good["f"] is None or np.isnan(good["f"]), strategy
+        assert good["snap_ts"] is None, strategy
+
+
+def test_null_join_key_gets_no_features(spark):
+    """NULL keys must follow SQL join semantics in every strategy: a null-key
+    left row never receives a null-key right row's snapshot (the window
+    strategy previously grouped nulls together and enriched them)."""
+    left = spark.createDataFrame(
+        pd.DataFrame({"conv_id": [None], "ts": [pd.Timestamp("2024-01-01 10:00:00")]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": [None],
+                "snap_ts": [pd.Timestamp("2024-01-01 01:00:00")],
+                "f": [9.0],
+            }
+        )
+    )
+    for strategy in ("window", "cogroup", "merge"):
+        row = asof_join(left, right, strategy=strategy).collect()[0]
+        assert row["f"] is None or np.isnan(row["f"]), strategy
+        assert row["snap_ts"] is None, strategy
+
+
+def test_unorderable_right_columns_join_fine(spark):
+    """A right side carrying a map<string,double> column must not break the
+    join: maps are excluded from the duplicate-tie-break SORT KEYS (Spark and
+    pandas both refuse to order them) but still flow through as values."""
+    left = spark.createDataFrame(
+        pd.DataFrame({"conv_id": ["m"], "ts": [pd.Timestamp("2024-01-01 10:00:00")]})
+    )
+    import datetime as dt
+
+    right = spark.createDataFrame(
+        [("m", dt.datetime(2024, 1, 1, 8, 0, 0), 4.0, {"k": 1.0})],
+        "conv_id string, snap_ts timestamp, f double, extras map<string,double>",
+    )
+    for strategy in ("window", "cogroup", "merge"):
+        row = asof_join(left, right, strategy=strategy).collect()[0]
+        assert row["f"] == 4.0, strategy
+        assert row["extras"] == {"k": 1.0}, strategy

@@ -82,3 +82,19 @@ def test_torn_rewrite_invalidates_checkpoint(spark, tmp_path):
     assert not resumed
     assert checkpoint_valid(d, "h1")
     assert out.count() == 5
+
+
+def test_resume_validates_stage(spark, transcripts, tmp_path):
+    """config_hash is per-config (identical across stages), so stage identity
+    must be validated at resume: asking for stage B from a dir holding stage
+    A's checkpoint must recompute, not silently return A's data."""
+    from pitfeat.checkpoint import resume_or_compute
+
+    d = str(tmp_path / "ck_stage")
+    a = transcripts.select("conv_id", "turn_idx")
+    _, resumed = resume_or_compute(spark, d, "features", "cfg1", lambda: a)
+    assert not resumed
+    b = transcripts.select("conv_id")
+    out, resumed = resume_or_compute(spark, d, "normalize", "cfg1", lambda: b)
+    assert not resumed  # stage mismatch -> recomputed (previously resumed=True)
+    assert out.columns == ["conv_id"]

@@ -212,3 +212,32 @@ def test_stream_pit_features_state_carries_across_batches(
             equal_nan=True,
             err_msg=c,
         )
+
+
+def test_pit_kernel_tolerates_null_timestamps():
+    """A NULL snap_ts or NULL turn ts must not poison the stateful operator:
+    previously int(NaN) raised when persisting state (a permanently
+    re-failing micro-batch after every restart) and the int64 conversion
+    raised on a null turn ts. NULL-ts snapshots are dropped (unknowable age,
+    same rule as batch asof_join); NULL-ts turns emit unmatched."""
+    import numpy as np
+    import pandas as pd
+
+    from pitfeat.streaming import _pit_state_kernel
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 4,
+            "turn_idx": [-1, -1, 0, 1],
+            "t_us": [np.nan, 2_000_000.0, 3_000_000.0, np.nan],
+            "is_snap": [1, 1, 0, 0],
+            "snap_t_us": [np.nan, 2_000_000.0, np.nan, np.nan],
+            "f_0": [7.0, 2.0, np.nan, np.nan],
+        }
+    )
+    out, state = _pit_state_kernel(pdf, None, "conv_id", ["turn_idx"], ["f_0"])
+    out = out.set_index("turn_idx")
+    assert out.loc[0, "f_0"] == 2.0          # matched the REAL snapshot, not the null-ts one
+    assert np.isnan(out.loc[1, "f_0"])       # null-ts turn: unmatched, not a crash
+    assert state is not None
+    assert state[0] == [2_000_000]           # null-ts snapshot never entered state

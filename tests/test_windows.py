@@ -193,3 +193,24 @@ def test_prev_session_features(transcripts):
     # leakage: the attached summary always ends strictly before the turn
     m = merged["prev_session_end"].notna()
     assert (merged.loc[m, "prev_session_end"] < merged.loc[m, "ts"]).all()
+
+
+def test_dedup_turns_equal_ts_deterministic(spark):
+    """Equal-(key, turn_idx, ts) duplicates must pick the SAME winner at any
+    parallelism: the content-hash tie-break makes the order total (previously
+    shuffle arrival order decided, so runs could disagree)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pitfeat.ops.windows import dedup_turns
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [("c", 0, t, txt) for txt in ("zz", "aa", "mm")]
+    base = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp, text string")
+    winners = set()
+    for parts in (1, 7):
+        out = dedup_turns(base.repartition(parts)).collect()
+        assert len(out) == 1
+        winners.add(out[0]["text"])
+    assert len(winners) == 1
