@@ -78,6 +78,11 @@ def main(argv=None):
         salt_buckets=args.salt_buckets,
         hot_key_threshold=args.hot_threshold,
     )
+    # Deliberately NOT pitfeat.session.get_spark(): this job is the scaling
+    # bench's target and must leave submit-time --conf values authoritative
+    # (bench/run_scaling.py sets shuffle partitions / tmpfs shuffle dirs /
+    # compression per its measurement protocol; get_spark's builder confs
+    # would override them). Only the semantics-critical confs are forced.
     spark = SparkSession.builder.appName("pitfeat-build-features").getOrCreate()
     for k, v in {
         "spark.sql.session.timeZone": "UTC",
@@ -96,7 +101,9 @@ def main(argv=None):
         row = df.agg(
             F.count(F.lit(1)).alias("n"), F.expr("bit_xor(xxhash64(features))").alias("chk")
         ).collect()[0]
-        return row["n"], int(row["chk"])
+        # bit_xor over zero rows is NULL: surface "no input rows" as (0, 0)
+        # instead of a confusing int(None) TypeError after the full job ran
+        return row["n"], (0 if row["chk"] is None else int(row["chk"]))
 
     if args.warmup and not args.resume:
         force(build(spark, args, cfg).df)

@@ -56,16 +56,18 @@ def read_snapshots(
     from pitfeat.schema import SNAPSHOT_WIDTH
 
     if width is None and fmt in ("csv", "json"):
-        # parquet/iceberg are self-describing so the default width is checked
-        # against the file footer; text formats have NO footer — reading them
-        # with a guessed 16-wide schema would silently null/misalign columns
+        # text formats have NO footer schema — reading them with a guessed
+        # 16-wide schema would silently null/misalign columns
         raise ValueError(
             f"read_snapshots(fmt={fmt!r}) requires an explicit width= — text "
             "formats carry no schema to validate a default against"
         )
     df = _read(spark, path_or_table, fmt, snapshots_schema(width or SNAPSHOT_WIDTH))
-    if width is not None:
-        assert_schema(df, snapshots_schema(width), "feature_snapshots")
+    # ALWAYS validate, default width included: parquet/iceberg footers make
+    # the file's real schema visible, and a snapshots table with mistyped
+    # snap_ts or zero f_* columns should fail HERE on the driver, not as an
+    # obscure type error (or empty feature vectors) deep in the join
+    assert_schema(df, snapshots_schema(width or SNAPSHOT_WIDTH), "feature_snapshots")
     return df
 
 
@@ -74,9 +76,37 @@ def write_features(
     partition_by: list[str] | None = None,
 ) -> None:
     if fmt == "iceberg":
-        df.writeTo(path_or_table).createOrReplace()
+        from pyspark.sql import functions as F
+
+        wt = df.writeTo(path_or_table)
+        if mode == "append":
+            # append follows the TABLE's partition spec; a partition_by here
+            # would be silently ignored by the v2 writer — refuse instead
+            if partition_by:
+                raise ValueError(
+                    "partition_by applies only when (re)creating an iceberg "
+                    "table; append follows the existing table's spec"
+                )
+            wt.append()
+        elif mode == "overwrite":
+            if partition_by:
+                wt = wt.partitionedBy(*[F.col(c) for c in partition_by])
+            wt.createOrReplace()
+        else:
+            raise ValueError(f"iceberg write supports append|overwrite, got {mode!r}")
         return
+    if fmt not in ("parquet", "csv", "json"):
+        # mirror the read path: a typo'd format must not silently fall
+        # through to parquet
+        raise ValueError(f"unknown table format {fmt!r}")
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
-    w.parquet(path_or_table)
+    if fmt == "csv":
+        w.option("header", "true").option(
+            "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+        ).csv(path_or_table)
+    elif fmt == "json":
+        w.json(path_or_table)
+    else:
+        w.parquet(path_or_table)

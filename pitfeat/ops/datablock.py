@@ -34,12 +34,19 @@ def to_datablocks(df: DataFrame, rows_per_block: int = 4096) -> DataFrame:
         for b in batches:
             buf.append(b)
             buffered += b.num_rows
-            while buffered >= rows_per_block:
+            if buffered >= rows_per_block:
+                # combine ONCE per incoming batch, then slice out every full
+                # block zero-copy. The previous while-loop recombined the
+                # whole remaining buffer per emitted block — O(B^2/k) bytes
+                # copied when an upstream stage delivers batches B >> k
                 tbl = pa.Table.from_batches(buf).combine_chunks()
-                head = tbl.slice(0, rows_per_block)
-                tail = tbl.slice(rows_per_block)
-                for hb in head.to_batches(max_chunksize=rows_per_block):
-                    yield hb
+                nfull = buffered // rows_per_block
+                for i in range(nfull):
+                    for hb in tbl.slice(i * rows_per_block, rows_per_block).to_batches(
+                        max_chunksize=rows_per_block
+                    ):
+                        yield hb
+                tail = tbl.slice(nfull * rows_per_block)
                 buf = tail.to_batches() or []
                 buffered = tail.num_rows
         if buffered:
@@ -55,19 +62,38 @@ def write_datablocks(
 ) -> DataFrame:
     """Persist DATABLOCKs as one Arrow IPC file per Spark partition
     (``part-<pid>.arrow``), each containing only fixed-size record batches.
-    Returns a one-row-per-partition DataFrame of (partition hex id, n_blocks,
-    n_rows) for the metrics sidecar."""
+    Returns a one-row-per-partition DataFrame of (partition id, n_blocks,
+    n_rows) for the metrics sidecar.
+
+    Task-commit protocol: each task writes to a hidden temp name and
+    os.replace()s it to the DETERMINISTIC final name part-<partitionId>.arrow
+    only after a clean close — a retried (or speculative) attempt atomically
+    replaces the same file instead of adding a second uuid-named one, and a
+    crashed attempt leaves only a temp file that readers ignore. The
+    destination must not already hold .arrow files (two runs into one dir
+    would otherwise silently concatenate)."""
     os.makedirs(out_dir, exist_ok=True)
+    existing = [f for f in os.listdir(out_dir) if f.endswith(".arrow")]
+    if existing:
+        raise ValueError(
+            f"write_datablocks: {out_dir} already contains {len(existing)} "
+            ".arrow file(s) — reading would merge two runs; use a fresh dir"
+        )
 
     def writer(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import uuid
+
+        from pyspark import TaskContext
 
         schema = None
         sink = None
         w = None
         n_blocks = 0
         n_rows = 0
-        pid = uuid.uuid4().hex[:12]
+        tc = TaskContext.get()
+        pid = f"{tc.partitionId():05d}" if tc is not None else uuid.uuid4().hex[:12]
+        tmp_path = os.path.join(out_dir, f".part-{pid}.tmp-{uuid.uuid4().hex[:8]}")
+        final_path = os.path.join(out_dir, f"part-{pid}.arrow")
         buf: list[pa.RecordBatch] = []
         buffered = 0
 
@@ -75,7 +101,7 @@ def write_datablocks(
             nonlocal w, sink, schema, n_blocks, n_rows
             if w is None:
                 schema = block.schema
-                sink = pa.OSFile(os.path.join(out_dir, f"part-{pid}.arrow"), "wb")
+                sink = pa.OSFile(tmp_path, "wb")
                 w = ipc.new_file(sink, schema)
             w.write_batch(block)
             n_blocks += 1
@@ -84,12 +110,17 @@ def write_datablocks(
         for b in batches:
             buf.append(b)
             buffered += b.num_rows
-            while buffered >= rows_per_block:
+            if buffered >= rows_per_block:
+                # single combine per incoming batch + zero-copy full-block
+                # slices (see reblock for the O(B^2) rationale)
                 tbl = pa.Table.from_batches(buf).combine_chunks()
-                head = tbl.slice(0, rows_per_block).to_batches(max_chunksize=rows_per_block)
-                for hb in head:
-                    flush_block(hb)
-                tail = tbl.slice(rows_per_block)
+                nfull = buffered // rows_per_block
+                for i in range(nfull):
+                    for hb in tbl.slice(i * rows_per_block, rows_per_block).to_batches(
+                        max_chunksize=rows_per_block
+                    ):
+                        flush_block(hb)
+                tail = tbl.slice(nfull * rows_per_block)
                 buf = tail.to_batches() or []
                 buffered = tail.num_rows
         if buffered:
@@ -99,6 +130,7 @@ def write_datablocks(
         if w is not None:
             w.close()
             sink.close()
+            os.replace(tmp_path, final_path)
         yield pa.RecordBatch.from_pydict(
             {"part_id": [pid], "n_blocks": [n_blocks], "n_rows": [n_rows]},
             schema=pa.schema(

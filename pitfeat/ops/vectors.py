@@ -45,10 +45,28 @@ def allclose_compare(
     av = a.select(*keys, F.col(vec_col).alias("__va"))
     bv = b.select(*keys, F.col(vec_col).alias("__vb"))
     j = av.join(bv, keys, "full_outer")
+    inf = F.lit(float("inf"))
+
+    def slot_close(x, y):
+        # numpy.isclose semantics: the tolerance formula only applies when
+        # BOTH sides are finite — otherwise rtol*|inf| = inf would accept ANY
+        # finite value against an inf reference (false pass of the
+        # correctness gate) while inf vs inf would compare NOT close
+        # (|inf-inf| = NaN). Non-finite slots require exact equality;
+        # NaN==NaN is the gate's documented sentinel rule.
+        both_finite = (
+            ~F.isnan(x) & ~F.isnan(y) & (F.abs(x) != inf) & (F.abs(y) != inf)
+        )
+        return (
+            (F.isnan(x) & F.isnan(y))
+            | (both_finite & (F.abs(x - y) <= F.lit(atol) + F.lit(rtol) * F.abs(y)))
+            | (x == y)
+        )
+
     ok = (
         F.col("__va").isNotNull()
         & F.col("__vb").isNotNull()
         & (F.size("__va") == F.size("__vb"))
-        & F.forall(F.zip_with("__va", "__vb", lambda x, y: (F.isnan(x) & F.isnan(y)) | (F.abs(x - y) <= F.lit(atol) + F.lit(rtol) * F.abs(y))), lambda v: v)
+        & F.forall(F.zip_with("__va", "__vb", slot_close), lambda v: v)
     )
     return j.select(*keys, ok.alias("allclose"))

@@ -32,18 +32,43 @@ def gen_transcripts(
     """Deterministic transcripts (conv_id, turn_idx, role, text, tool, ts)."""
     convs = spark.range(n_convs).withColumnRenamed("id", "conv_no")
     # conv sizes: uniform in [1, 2*avg) via hash; zipf variant gives conv 0 a
-    # hot tail of ~0.43*n_convs*avg extra turns (~30% of the total)
+    # hot tail of ~0.43*n_convs*avg turns (~30% of the total)
     n_turns = 1 + F.pmod(F.xxhash64("conv_no", F.lit(seed)), F.lit(2 * avg_turns - 1))
+    hot_turns = None
     if skew == "zipf":
-        hot = int(0.43 * n_convs * avg_turns)
-        n_turns = F.when(F.col("conv_no") == 0, F.lit(hot)).otherwise(n_turns)
+        hot = max(1, int(0.43 * n_convs * avg_turns))
+        if hot >= 2**31:
+            raise ValueError(
+                f"zipf hot conversation would need {hot} turns but turn_idx "
+                "is int32 — previously this wrapped negative (silently "
+                "corrupt descending indices); shrink n_convs*avg_turns"
+            )
+        # the hot conv's turn list is generated in CHUNKED sequence() rows: a
+        # single sequence(0, hot-1) materializes one ~hot-element array in one
+        # row (multi-GB for hot ~ 1e9, and Spark caps sequence length anyway)
+        chunk = 1_000_000
+        nchunks = (hot + chunk - 1) // chunk
+        hot_turns = spark.range(nchunks).select(
+            F.lit("c0").alias("conv_id"),
+            F.lit(0).cast("long").alias("conv_no"),
+            F.explode(
+                F.sequence(
+                    F.col("id") * chunk,
+                    F.least(F.lit(hot - 1), (F.col("id") + 1) * chunk - 1),
+                )
+            ).alias("turn_idx"),
+        )
+        convs = convs.where(F.col("conv_no") != 0)
     convs = convs.withColumn("n_turns", n_turns.cast("int"))
 
     turns = convs.select(
         F.concat(F.lit("c"), F.col("conv_no")).alias("conv_id"),
         F.col("conv_no"),
         F.explode(F.sequence(F.lit(0), F.col("n_turns") - 1)).alias("turn_idx"),
-    ).withColumn("turn_idx", F.col("turn_idx").cast("int"))
+    )
+    if hot_turns is not None:
+        turns = turns.unionByName(hot_turns)
+    turns = turns.withColumn("turn_idx", F.col("turn_idx").cast("int"))
 
     h = F.xxhash64("conv_no", "turn_idx", F.lit(seed))
     r = F.pmod(h, F.lit(100))

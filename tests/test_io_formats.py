@@ -191,3 +191,40 @@ def test_pipeline_csv_snapshots_default_width(spark, transcripts, snapshots, tmp
     cfg = PitfeatConfig(table_format="csv")
     out = Pipeline.from_df(spark, transcripts, cfg).asof_snapshots(p).df
     assert out.count() == transcripts.count()
+
+
+def test_write_features_rejects_unknown_format_and_iceberg_modes(spark, transcripts):
+    """The write path must mirror the read path's strictness: a typo'd format
+    cannot silently produce parquet, and iceberg append must not be satisfied
+    by createOrReplace (which would replace the table with one increment)."""
+    from pitfeat.io import write_features
+
+    with pytest.raises(ValueError, match="unknown table format"):
+        write_features(transcripts, "/tmp/never", fmt="parqet")
+
+    calls = []
+
+    class FakeV2Writer:
+        def __init__(self, t):
+            pass
+
+        def append(self):
+            calls.append("append")
+
+        def createOrReplace(self):
+            calls.append("createOrReplace")
+
+    orig = type(transcripts).writeTo
+    type(transcripts).writeTo = lambda self, t: FakeV2Writer(t)
+    try:
+        write_features(transcripts, "cat.db.t", fmt="iceberg", mode="append")
+        write_features(transcripts, "cat.db.t", fmt="iceberg", mode="overwrite")
+        with pytest.raises(ValueError, match="append|overwrite"):
+            write_features(transcripts, "cat.db.t", fmt="iceberg", mode="errorifexists")
+        with pytest.raises(ValueError, match="partition_by"):
+            write_features(
+                transcripts, "cat.db.t", fmt="iceberg", mode="append", partition_by=["role"]
+            )
+    finally:
+        type(transcripts).writeTo = orig
+    assert calls == ["append", "createOrReplace"]

@@ -91,3 +91,54 @@ def test_synth_determinism(spark):
     pd.testing.assert_frame_equal(a, b)
     c = gen_transcripts(spark, 20, 10, seed=8).toPandas()
     assert not a.equals(c.sort_values(KEYS).reset_index(drop=True))
+
+
+def test_synth_zipf_hot_conv_chunked(spark):
+    """zipf's hot conversation is generated from CHUNKED sequence() rows (one
+    giant sequence = one multi-GB array row and an int32 wrap above 2^31):
+    c0 must carry exactly the hot turn count with dense 0..hot-1 indices and
+    stay deterministic, and the other convs keep their uniform-hash sizes."""
+    import pyspark.sql.functions as F
+
+    from pitfeat.synth import gen_transcripts
+
+    t = gen_transcripts(spark, 30, 5, seed=7, skew="zipf")
+    hot = max(1, int(0.43 * 30 * 5))
+    c0 = t.where(F.col("conv_id") == "c0")
+    n, lo, hi, d = c0.agg(
+        F.count("*"), F.min("turn_idx"), F.max("turn_idx"), F.countDistinct("turn_idx")
+    ).first()
+    assert (n, lo, hi, d) == (hot, 0, hot - 1, hot)
+    uni = gen_transcripts(spark, 30, 5, seed=7, skew="uniform")
+    a = uni.where(F.col("conv_id") != "c0").groupBy("conv_id").count().toPandas()
+    b = t.where(F.col("conv_id") != "c0").groupBy("conv_id").count().toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("conv_id").reset_index(drop=True),
+        b.sort_values("conv_id").reset_index(drop=True),
+    )
+
+
+def test_allclose_handles_infinities(spark):
+    """numpy.isclose semantics for non-finite slots: an inf reference must
+    NOT accept any finite value (rtol*inf = inf previously passed the gate
+    for grossly wrong vectors), and inf vs same-sign inf must compare close
+    (|inf-inf| = NaN previously failed it)."""
+    from pitfeat.ops.vectors import allclose_compare
+
+    inf = float("inf")
+    a = spark.createDataFrame(
+        [("c", 0, [3.0, inf, -inf, 1.0])],
+        "conv_id string, turn_idx int, features array<double>",
+    )
+    b_inf_vs_finite = spark.createDataFrame(
+        [("c", 0, [3.0, 5.0, -inf, 1.0])],
+        "conv_id string, turn_idx int, features array<double>",
+    )
+    b_same = spark.createDataFrame(
+        [("c", 0, [3.0, inf, -inf, 1.0])],
+        "conv_id string, turn_idx int, features array<double>",
+    )
+    assert not allclose_compare(a, b_inf_vs_finite).collect()[0]["allclose"]
+    assert allclose_compare(a, b_same).collect()[0]["allclose"]
+    # and the reverse false-accept: finite engine value vs inf reference
+    assert not allclose_compare(b_inf_vs_finite, a).collect()[0]["allclose"]
