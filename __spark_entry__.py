@@ -866,10 +866,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["w8_dedup"] = w8
 
     def v2(spark, sf):
+        # DISCRIMINATING comparison, not a self-compare tautology: vec 0 is
+        # perturbed WITHIN tolerance (+1e-13 per slot, under atol=1e-12),
+        # vec 1 BEYOND it (+1.0) — so the oracle expects exactly one FALSE
+        # row, and a comparator that is merely reflexive (or always-TRUE, or
+        # infinitely tolerant) fails. Remaining vectors compare unperturbed.
         e = _t(spark, sf, "embeddings").select(
             "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("features")
         )
-        return allclose_compare(e, e, keys=["vec_id"])
+        delta = (
+            F.when(F.col("vec_id") == 0, F.lit(1e-13))
+            .when(F.col("vec_id") == 1, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+        )
+        b = e.select(
+            "vec_id",
+            F.transform("features", lambda x: x + delta).alias("features"),
+        )
+        return allclose_compare(e, b, keys=["vec_id"])
 
     q["v2_allclose"] = v2
 
@@ -1212,7 +1226,7 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT l_orderkey, l_linenumber, 2, l_tax FROM lineitem
     """
 
-    o["v2_allclose"] = "SELECT vec_id, TRUE AS allclose FROM embeddings"
+    o["v2_allclose"] = "SELECT vec_id, (vec_id <> 1) AS allclose FROM embeddings"
 
     o["s5_datablocks"] = """
         SELECT ceil(count(*) / 4096.0)::BIGINT AS n_blocks, count(*)::BIGINT AS n_rows

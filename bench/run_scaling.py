@@ -26,13 +26,25 @@ DATA = "/tmp/pitfeat_bench_data"
 SPARK_SUBMIT = os.environ.get("SPARK_SUBMIT", "/opt/spark/bin/spark-submit")
 
 
+def _synth_tag() -> str:
+    """Fixture names embed a hash of pitfeat/synth.py so editing the
+    generator invalidates the /tmp cache: reusing a stale fixture would
+    benchmark different inputs across rounds while claiming "identical
+    input"."""
+    import hashlib
+
+    src = open(os.path.join(REPO, "pitfeat", "synth.py"), "rb").read()
+    return hashlib.sha256(src).hexdigest()[:8]
+
+
 def gen_data(n_convs: int, avg_turns: int, skew: str = "uniform"):
     sys.path.insert(0, REPO)
     from pitfeat.session import get_spark
     from pitfeat.synth import gen_snapshots, gen_transcripts
 
-    t_path = f"{DATA}/transcripts_{skew}_{n_convs}x{avg_turns}.parquet"
-    s_path = f"{DATA}/snapshots_{skew}_{n_convs}x{avg_turns}.parquet"
+    tag = _synth_tag()
+    t_path = f"{DATA}/transcripts_{skew}_{n_convs}x{avg_turns}_{tag}.parquet"
+    s_path = f"{DATA}/snapshots_{skew}_{n_convs}x{avg_turns}_{tag}.parquet"
     if os.path.exists(t_path) and os.path.exists(s_path):
         return t_path, s_path
     spark = get_spark("bench-gen", master="local[32]")

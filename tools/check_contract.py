@@ -55,9 +55,18 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             av = av.astype(float).to_numpy()
             bv = bv.astype(float).to_numpy()
-            ok = np.isclose(av, bv, rtol=1e-9, atol=1e-12, equal_nan=True) | (
-                np.isnan(av) & np.isnan(bv)
-            )
+            fa, fb = av[~np.isnan(av)], bv[~np.isnan(bv)]
+            if np.all(fa == np.round(fa)) and np.all(fb == np.round(fb)):
+                # integer-valued floats (nullable BIGINTs like *_us epoch
+                # columns arrive as float64): rtol=1e-9 at ts magnitudes
+                # ~1.7e15 would grant ~1.7e6 us of slack — a 1-microsecond
+                # epoch-parity bug would pass here and fail the driver's
+                # exact hash. Exact compare instead.
+                ok = (av == bv) | (np.isnan(av) & np.isnan(bv))
+            else:
+                ok = np.isclose(av, bv, rtol=1e-9, atol=1e-12, equal_nan=True) | (
+                    np.isnan(av) & np.isnan(bv)
+                )
             if not ok.all():
                 i = int(np.argmin(ok))
                 return f"col {c}: {av[i]!r} != {bv[i]!r} at sorted row {i} ({(~ok).sum()} diffs)"
@@ -80,9 +89,10 @@ def main():
     qs = entrymod.queries()
     os_ = entrymod.oracle_sql()
     missing = [k for k in os_ if k not in qs]
-    if missing:
-        print("ORACLE WITHOUT QUERY:", missing)
-    failed = []
+    if missing and not filt:
+        # a typo'd/renamed key would otherwise ship with zero semantic check
+        print("FAIL contract: oracle(s) without a queries() entry:", missing)
+    failed = list(missing) if not filt else []
     for name, fn in qs.items():
         if filt and filt not in name:
             continue
@@ -93,9 +103,10 @@ def main():
             failed.append(name)
             continue
         if name not in os_:
-            print(f"ok?  {name}: rows={len(got)} (no oracle — rows-only)")
-            if len(got) == 0:
-                print(f"     WARNING {name}: 0 rows")
+            # every current entry is oracled; an un-oracled one means a
+            # renamed/typo'd key and must FAIL, not quietly pass rows-only
+            print(f"FAIL {name}: no oracle_sql() entry (renamed key?)")
+            failed.append(name)
             continue
         try:
             want = con.execute(os_[name]).fetchdf()
@@ -104,6 +115,10 @@ def main():
             failed.append(name)
             continue
         err = compare(got, want)
+        if err is None and len(got) == 0:
+            # 0==0 rows is agreement about nothing (VERDICT r2 missing #4);
+            # every contract query returns rows at every driver sf
+            err = "0 rows on BOTH sides — vacuous match"
         if err:
             print(f"FAIL {name}: {err}")
             failed.append(name)
