@@ -175,3 +175,91 @@ def gen_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
         F.lit(1000).cast("int").alias("duration_ms"),
         payload.alias("payload"),
     )
+
+
+def resize_media(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Resize image payloads to (width, height) via Arrow-batched mapInPandas.
+
+    Real leg (PIL present): decode -> resize -> re-encode PNG. Stub leg
+    (this sandbox): deterministic payload transform — the bytes are
+    hash-folded down to width*height length — so the Spark-side contract
+    (schema preserved, width/height metadata updated, payload replaced,
+    non-image rows untouched) is fully testable without codecs. Partition
+    count and row order are preserved (map-only, no shuffle)."""
+    real = REAL_DECODE
+
+    def _resize_stub(payload: bytes) -> bytes:
+        if payload is None:
+            return None
+        n = width * height
+        rep = (payload * ((n // max(1, len(payload))) + 1))[:n]
+        return bytes(rep)
+
+    def _resize_real(payload: bytes) -> bytes:
+        import io
+
+        import PIL.Image
+
+        try:
+            img = PIL.Image.open(io.BytesIO(payload)).resize((width, height))
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            return buf.getvalue()
+        except Exception:
+            return _resize_stub(payload)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fn = _resize_real if real else _resize_stub
+        for pdf in batches:
+            out = pdf.copy()
+            is_img = out["kind"] == "image"
+            out.loc[is_img, "payload"] = out.loc[is_img, "payload"].map(fn)
+            out.loc[is_img, "width"] = width
+            out.loc[is_img, "height"] = height
+            yield out
+
+    return df.mapInPandas(kernel, schema=df.schema)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_ms", T.IntegerType(), False),
+        T.StructField("frame_payload", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 250) -> DataFrame:
+    """Sample video rows into one output row per frame at ``every_ms``
+    intervals (media_id, frame_idx, frame_ms, frame_payload) — a 1->N
+    mapInPandas fan-out whose output size is bounded by duration/every_ms,
+    never a full decode of the stream into memory.
+
+    Real frame extraction needs an ffmpeg binding (none is probed in this
+    container); the stub derives each frame's payload deterministically from
+    (payload bytes, frame_idx), so schema, fan-out shape, and batch handling
+    — the Spark-side contract — are real and tested. Non-video rows produce
+    no frames."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            vids = pdf[pdf["kind"] == "video"]
+            for media_id, dur, payload in zip(
+                vids["media_id"], vids["duration_ms"], vids["payload"]
+            ):
+                n = 0 if dur is None else max(1, int(dur) // every_ms)
+                for i in range(n):
+                    fp = (
+                        None
+                        if payload is None
+                        else bytes((b + i) % 256 for b in payload[:32])
+                    )
+                    rows.append((int(media_id), i, i * every_ms, fp))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame_ms", "frame_payload"]
+            )
+
+    return df.mapInPandas(kernel, schema=FRAME_SCHEMA)

@@ -305,3 +305,42 @@ def test_ivf_centroid_reuse_and_null_vectors(spark):
     )
     out = ivf_topk(withnull, qs, k=5, nlist=8, nprobe=8).collect()
     assert sorted(map(tuple, out)) == a  # null vector scores 0, never top-5
+
+
+def test_multimodal_resize_plumbing(spark):
+    """resize_media: image payloads replaced and metadata updated, non-image
+    rows byte-identical, schema preserved, deterministic."""
+    from pitfeat.ops.multimodal import gen_media, resize_media
+
+    media = gen_media(spark, n=30)
+    out = resize_media(media, width=8, height=8).toPandas().set_index("media_id")
+    orig = media.toPandas().set_index("media_id")
+    assert list(out.columns) == list(orig.columns)
+    for mid in orig.index:
+        if orig.loc[mid, "kind"] == "image":
+            assert out.loc[mid, "width"] == 8 and out.loc[mid, "height"] == 8
+            assert len(out.loc[mid, "payload"]) == 64
+        else:
+            assert bytes(out.loc[mid, "payload"]) == bytes(orig.loc[mid, "payload"])
+    again = resize_media(gen_media(spark, n=30), width=8, height=8).toPandas().set_index("media_id")
+    for mid in orig.index:
+        assert bytes(again.loc[mid, "payload"]) == bytes(out.loc[mid, "payload"])
+
+
+def test_multimodal_frame_sampling(spark):
+    """sample_frames: one row per every_ms interval per VIDEO row, bounded
+    fan-out, deterministic frame payloads, non-video rows emit nothing."""
+    from pitfeat.ops.multimodal import gen_media, sample_frames
+
+    media = gen_media(spark, n=30)  # duration_ms = 1000 for every row
+    frames = sample_frames(media, every_ms=250).toPandas()
+    vids = media.where(F.col("kind") == "video").toPandas()
+    assert len(frames) == 4 * len(vids)  # 1000 // 250
+    assert set(frames["media_id"]) == set(vids["media_id"])
+    per = frames.groupby("media_id")["frame_idx"].agg(["min", "max", "count"])
+    assert (per["min"] == 0).all() and (per["max"] == 3).all() and (per["count"] == 4).all()
+    assert (frames["frame_ms"] == frames["frame_idx"] * 250).all()
+    again = sample_frames(gen_media(spark, n=30), every_ms=250).toPandas()
+    a = frames.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    b = again.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    assert (a["frame_payload"].map(bytes) == b["frame_payload"].map(bytes)).all()
