@@ -21,6 +21,9 @@ def _read(spark: SparkSession, path_or_table: str, fmt: str, schema=None) -> Dat
         return spark.read.format("iceberg").load(path_or_table)
     if fmt == "parquet":
         return spark.read.parquet(path_or_table)
+    if fmt == "orc":
+        # self-describing like parquet: footer schema + predicate pushdown
+        return spark.read.orc(path_or_table)
     if fmt == "csv":
         # text formats require a DECLARED schema (inference = a full extra
         # scan, banned at 10^12 rows); timestampFormat covers the ISO-8601
@@ -95,7 +98,7 @@ def write_features(
         else:
             raise ValueError(f"iceberg write supports append|overwrite, got {mode!r}")
         return
-    if fmt not in ("parquet", "csv", "json"):
+    if fmt not in ("parquet", "orc", "csv", "json"):
         # mirror the read path: a typo'd format must not silently fall
         # through to parquet
         raise ValueError(f"unknown table format {fmt!r}")
@@ -108,5 +111,7 @@ def write_features(
         ).csv(path_or_table)
     elif fmt == "json":
         w.json(path_or_table)
+    elif fmt == "orc":
+        w.orc(path_or_table)
     else:
         w.parquet(path_or_table)

@@ -1,6 +1,7 @@
 """S1 source-format variants (csv/json with declared schemas) and A8 UDAFs."""
 
 import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 import pytest
 
@@ -228,3 +229,22 @@ def test_write_features_rejects_unknown_format_and_iceberg_modes(spark, transcri
     finally:
         type(transcripts).writeTo = orig
     assert calls == ["append", "createOrReplace"]
+
+
+def test_orc_roundtrip(spark, transcripts, tmp_path):
+    """ORC source/sink: self-describing like parquet (footer schema,
+    pushdown) — write_features + read_transcripts roundtrip byte-exact."""
+    from pitfeat.io import read_transcripts, write_features
+
+    p = str(tmp_path / "t_orc")
+    write_features(transcripts.coalesce(2), p, fmt="orc")
+    got = (
+        read_transcripts(spark, p, fmt="orc")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        transcripts.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
