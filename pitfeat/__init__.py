@@ -15,9 +15,23 @@ See SURVEY.md for the blueprint and BASELINE.md for the performance contract.
 
 from pitfeat.config import PitfeatConfig
 from pitfeat.ops.asof import asof_join
+from pitfeat.ops.dedup import exact_dedup, minhash_lsh_pairs, simhash_near_pairs
+from pitfeat.ops.similarity import cosine_topk, ivf_topk, lsh_topk
 from pitfeat.pipeline import Pipeline
 from pitfeat.session import get_spark
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
-__all__ = ["PitfeatConfig", "get_spark", "Pipeline", "asof_join", "__version__"]
+__all__ = [
+    "PitfeatConfig",
+    "get_spark",
+    "Pipeline",
+    "asof_join",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "simhash_near_pairs",
+    "cosine_topk",
+    "lsh_topk",
+    "ivf_topk",
+    "__version__",
+]
