@@ -1,0 +1,108 @@
+"""spark-submit entry point: corpus deduplication as a batch job.
+
+    spark-submit --master local[8] jobs/dedup_corpus.py \
+        --input docs.parquet --out OUT_DIR --method exact
+    spark-submit ... --method minhash --threshold 0.7 --sig-path s3://...  \
+        [--pairs-only]
+    spark-submit ... --method simhash --max-hamming 3 [--pairs-only]
+
+Methods (pitfeat.ops.dedup):
+- ``exact``   — 128-bit normalized-text fingerprint groupBy, min-id keeper;
+                writes the deduplicated corpus.
+- ``minhash`` — MinHash+LSH banded candidates, exact-Jaccard verify; with
+                ``--pairs-only`` writes the near-dup pair table, else drops
+                every doc that near-duplicates a lower id and writes the
+                surviving corpus.
+- ``simhash`` — SimHash + pigeonhole segment LSH at ``--max-hamming``; same
+                output modes.
+
+On a real cluster pass ``--sig-path`` pointing at shared storage (the
+signature/bucket tables are written tables; see dedup._scratch_dir).
+Prints one JSON line: rows in, rows out (or pairs), seconds.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from pitfeat.ops.dedup import exact_dedup, minhash_lsh_pairs, simhash_near_pairs
+
+
+def run(spark: SparkSession, args) -> dict:
+    df = spark.read.parquet(args.input)
+    n_in = df.count()
+    t0 = time.perf_counter()
+    if args.method == "exact":
+        out = exact_dedup(df, text_col=args.text_col, id_col=args.id_col)
+        pairs = None
+    else:
+        if args.method == "minhash":
+            pairs = minhash_lsh_pairs(
+                df,
+                text_col=args.text_col,
+                id_col=args.id_col,
+                threshold=args.threshold,
+                sig_path=args.sig_path,
+            )
+        else:
+            pairs = simhash_near_pairs(
+                df,
+                text_col=args.text_col,
+                id_col=args.id_col,
+                max_hamming=args.max_hamming,
+                sig_path=args.sig_path,
+            )
+        if args.pairs_only:
+            out = pairs
+        else:
+            # survivor set: drop any doc that near-duplicates a LOWER id —
+            # the same min-id-keeper rule as exact_dedup, via a broadcastable
+            # anti-join on the (small-by-construction) pair table's id_b side
+            losers = pairs.select(F.col("id_b").alias(args.id_col)).distinct()
+            out = df.join(losers, args.id_col, "left_anti")
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        n_out = spark.read.parquet(args.out).count()
+    else:
+        n_out = out.count()
+    return {
+        "method": args.method,
+        "rows_in": n_in,
+        "rows_out": n_out,
+        "pairs_only": bool(args.pairs_only and args.method != "exact"),
+        "sec": round(time.perf_counter() - t0, 3),
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--out", default=None, help="output parquet dir; omit to only count")
+    ap.add_argument("--method", choices=["exact", "minhash", "simhash"], default="exact")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--threshold", type=float, default=0.7, help="minhash Jaccard cutoff")
+    ap.add_argument("--max-hamming", type=int, default=3, help="simhash distance cutoff")
+    ap.add_argument("--sig-path", default=None, help="shared-storage dir for signature tables (REQUIRED on a cluster)")
+    ap.add_argument("--pairs-only", action="store_true", help="write the near-dup PAIR table instead of the survivor corpus")
+    args = ap.parse_args(argv)
+
+    spark = SparkSession.builder.appName("pitfeat-dedup").getOrCreate()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.sparkContext.setLogLevel("WARN")
+    res = run(spark, args)
+    print(json.dumps(res))
+    return res
+
+
+if __name__ == "__main__":
+    main()

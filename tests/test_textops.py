@@ -344,3 +344,28 @@ def test_multimodal_frame_sampling(spark):
     a = frames.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
     b = again.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
     assert (a["frame_payload"].map(bytes) == b["frame_payload"].map(bytes)).all()
+
+
+# ---------- dedup CLI job ----------
+
+
+def test_dedup_corpus_job(spark, tmp_path):
+    """jobs/dedup_corpus.py end-to-end in-process: exact mode drops the
+    planted duplicates; minhash --pairs-only emits the planted pair."""
+    import jobs.dedup_corpus as J
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    doubled = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    src = str(tmp_path / "docs_in")
+    doubled.write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "deduped")
+    res = J.main(["--input", src, "--out", out, "--method", "exact"])
+    n_texts = docs.select("text").distinct().count()
+    assert res["rows_in"] == 2 * docs.count()
+    assert res["rows_out"] == n_texts
+    back = spark.read.parquet(out)
+    assert back.where(F.col("doc_id") >= 1_000_000).count() == 0  # min-id keeper
+
+    res2 = J.main(["--input", src, "--method", "minhash", "--threshold", "0.99", "--pairs-only"])
+    assert res2["pairs_only"] and res2["rows_out"] >= docs.count()  # every planted dup pairs
