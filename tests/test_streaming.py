@@ -241,3 +241,44 @@ def test_pit_kernel_tolerates_null_timestamps():
     assert np.isnan(out.loc[1, "f_0"])       # null-ts turn: unmatched, not a crash
     assert state is not None
     assert state[0] == [2_000_000]           # null-ts snapshot never entered state
+
+
+def test_stream_features_job_available_now(spark, transcripts, snapshots, tmp_path):
+    """jobs/stream_features.py end-to-end (Trigger.AvailableNow): the file-
+    stream job's output must equal the batch as-of join on the same data."""
+    import numpy as np
+    import pandas as pd
+
+    import jobs.stream_features as J
+    from pitfeat.ops.asof import asof_join
+
+    tdir, sdir = str(tmp_path / "turns"), str(tmp_path / "snaps")
+    transcripts.write.mode("overwrite").parquet(tdir)
+    snapshots.write.mode("overwrite").parquet(sdir)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    feats = ["f_0", "f_1"]
+    res = J.run(
+        spark,
+        type("A", (), dict(
+            turns_dir=tdir, snapshots_dir=sdir, out=out, checkpoint=ckpt,
+            features=feats, width=16, available_now=True,
+        ))(),
+    )
+    assert res["rows"] == transcripts.count()
+    got = (
+        spark.read.parquet(out)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        asof_join(transcripts, snapshots)
+        .select("conv_id", "turn_idx", *feats)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    for c in feats:
+        np.testing.assert_allclose(
+            got[c].to_numpy(float), want[c].to_numpy(float), equal_nan=True, err_msg=c
+        )
