@@ -67,10 +67,9 @@ def test_zero_temporal_leakage(transcripts, snapshots, strategy):
 
     # truncate: drop all snapshots after the global median turn ts; rows at or
     # before the cutoff must be bit-identical
-    cut = out["ts"].quantile(0.5)
-    trunc = snapshots.where(snapshots.snap_ts <= cut.to_pydatetime().isoformat())
     import pyspark.sql.functions as F
 
+    cut = out["ts"].quantile(0.5)
     trunc = snapshots.filter(F.col("snap_ts") <= F.lit(cut.to_pydatetime()))
     out2 = asof_join(transcripts, trunc, strategy=strategy).toPandas()
     a = out[out["ts"] <= cut].sort_values(KEYS).reset_index(drop=True)

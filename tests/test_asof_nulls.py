@@ -13,13 +13,15 @@ from tests.oracle_pandas import asof_oracle
 
 @pytest.fixture(scope="module")
 def mixed_null_snapshots(spark, transcripts):
-    """Snapshots where each feature column is null on a hash-selected ~40% of
-    ROWS (not whole columns), so row-atomicity is actually exercised."""
+    """Snapshots where EVERY feature column is null on a hash-selected ~40%
+    of ROWS (not whole columns), so row-atomicity is exercised at every slot
+    position — a fill bug confined to higher column indices would be
+    invisible if only f_0..f_3 carried injected nulls."""
     from pitfeat.synth import gen_snapshots
 
     s = gen_snapshots(transcripts, seed=42)
     out = s
-    for i in (0, 1, 2, 3):
+    for i in range(13):  # f_13 (const) / f_14 (all-null) / f_15 (per-conv const) keep their designed roles
         c = f"f_{i}"
         out = out.withColumn(
             c,

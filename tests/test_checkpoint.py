@@ -3,6 +3,8 @@
 import json
 import os
 
+import pytest
+
 from pitfeat.checkpoint import checkpoint_valid, resume_or_compute, write_checkpoint
 
 
@@ -73,10 +75,28 @@ def test_torn_rewrite_invalidates_checkpoint(spark, tmp_path):
     df = spark.range(5).toDF("x")
     write_checkpoint(df, d, "s", "h1")
     assert checkpoint_valid(d, "h1")
-    # emulate the crash point: invalidation done, data rewrite never finished
-    os.remove(os.path.join(d, MARKER))
-    os.remove(os.path.join(d, LINEAGE))
-    assert not checkpoint_valid(d, "h1")
+    # CRASH the rewrite for real (mid-data-write), not by hand-deleting the
+    # marker: the invariant under test is the ORDERING — invalidation must
+    # happen before any data byte, so the interrupted rewrite leaves the
+    # marker already gone and the checkpoint reads as absent
+    class Boom(RuntimeError):
+        pass
+
+    df_exploding = spark.range(5).toDF("x")
+    orig_write = type(df_exploding).write
+
+    class _W:
+        def __get__(self, obj, owner=None):
+            raise Boom("simulated executor failure mid-rewrite")
+
+    type(df_exploding).write = _W()
+    try:
+        with pytest.raises(Boom):
+            write_checkpoint(df_exploding, d, "s", "h2")
+    finally:
+        type(df_exploding).write = orig_write
+    assert not os.path.exists(os.path.join(d, MARKER))  # invalidated FIRST
+    assert not checkpoint_valid(d, "h1") and not checkpoint_valid(d, "h2")
     # resume_or_compute treats it as absent, recomputes, restores validity
     out, resumed = resume_or_compute(spark, d, "s", "h1", lambda: df)
     assert not resumed

@@ -38,7 +38,7 @@ def test_text_format_roundtrip(spark, transcripts, tmp_path, fmt):
     # text byte-equality under stable ordering (the BASELINE.json invariant);
     # empty-string vs null differs by format (csv has no empty/null
     # distinction without extra options) — normalize like a real ingest would
-    for c in ("conv_id", "turn_idx", "role", "text", "ts"):
+    for c in ("conv_id", "turn_idx", "role", "text", "tool", "ts"):
         a, b = got[c].fillna(""), want[c].fillna("")
         assert (a == b).all(), c
 

@@ -42,9 +42,29 @@ def test_lang_id(spark):
 
 
 def test_token_count(spark, docs):
-    out = X.token_count(docs).toPandas()
-    oracle = docs.toPandas()["text"].str.split(r"\s+").str.len()
-    np.testing.assert_array_equal(out["n_tokens_ws"].to_numpy(), oracle.to_numpy())
+    # PLANT the edge cases the corpus lacks (verified: no padded/empty/multi-
+    # whitespace texts among the 500 docs), else the trim and empty->0
+    # branches of token_count are dead code to this test; key-join the oracle
+    # instead of relying on positional order
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [900001, 900002, 900003, 900004],
+                "text": ["  padded  ", "", "a   b\tc", "   "],
+            }
+        )
+    )
+    df = docs.select("doc_id", "text").unionByName(edges)
+    out = X.token_count(df).toPandas().set_index("doc_id")
+    src = df.toPandas().set_index("doc_id")
+    # oracle with the DOCUMENTED semantics: trim first, empty -> 0
+    oracle = src["text"].str.strip().map(lambda t: 0 if t == "" else len(t.split()))
+    got = out["n_tokens_ws"].reindex(oracle.index)
+    np.testing.assert_array_equal(got.to_numpy(), oracle.to_numpy())
+    assert out.loc[900001, "n_tokens_ws"] == 1
+    assert out.loc[900002, "n_tokens_ws"] == 0
+    assert out.loc[900003, "n_tokens_ws"] == 3
+    assert out.loc[900004, "n_tokens_ws"] == 0
     assert (out["n_tokens_bpe"] >= out["n_tokens_ws"]).all()
 
 
@@ -75,6 +95,23 @@ def test_exact_dedup(spark, docs):
     assert out.count() == texts
     # canonical keeper is the min id: all original ids survive
     assert out.where(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_exact_dedup_normalizes(spark):
+    """Dedup keys on NORMALIZED text (lower/trim/collapse-whitespace): plant
+    case- and whitespace-variants — absent from the corpus fixture, so
+    without this test the normalization path is dead code — and assert they
+    collapse to the min-id representative."""
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["Hello  World", "hello world", "  HELLO   WORLD ", "different"],
+            }
+        )
+    )
+    out = D.exact_dedup(df).toPandas()
+    assert sorted(out["doc_id"]) == [1, 4]
 
 
 def test_minhash_lsh_finds_near_dups(spark):

@@ -80,17 +80,22 @@ def test_ffill_and_bfill_gate(spark, transcripts):
     t = transcripts.withColumn(
         "sparse", F.when(F.pmod(F.col("turn_idx"), F.lit(3)) == 0, F.col("turn_idx").cast("double"))
     )
+    # oracle built from the INPUT frame, never from the op's own output: an
+    # implementation that also overwrote the source column would make an
+    # output-derived ffill an identity (self-compare tautology)
+    inp = _sorted_pd(t)
     out = _sorted_pd(W.forward_fill(t, ["sparse"]))
-    oracle = (
-        out.groupby("conv_id")["sparse"].ffill()
-    )
+    np.testing.assert_allclose(
+        out["sparse"].to_numpy(float), inp["sparse"].to_numpy(float), equal_nan=True
+    )  # source column untouched
+    oracle = inp.groupby("conv_id")["sparse"].ffill()
     np.testing.assert_allclose(
         out["sparse_ffill"].to_numpy(float), oracle.to_numpy(float), equal_nan=True
     )
     with pytest.raises(ValueError, match="leakage"):
         W.backfill(t, ["sparse"])
     out2 = _sorted_pd(W.backfill(t, ["sparse"], allow_leakage=True))
-    oracle2 = out2.groupby("conv_id")["sparse"].bfill()
+    oracle2 = inp.groupby("conv_id")["sparse"].bfill()
     np.testing.assert_allclose(
         out2["sparse_bfill"].to_numpy(float), oracle2.to_numpy(float), equal_nan=True
     )
@@ -139,10 +144,16 @@ def test_dedup_turns(spark, transcripts):
 
 def test_top_k(transcripts):
     out = W.top_k_per_group(transcripts, "turn_idx", 3).toPandas()
-    assert (out.groupby("conv_id").size() <= 3).all()
-    mx = transcripts.toPandas().groupby("conv_id")["turn_idx"].max()
-    got = out.groupby("conv_id")["turn_idx"].max()
-    pd.testing.assert_series_equal(got.sort_index(), mx.sort_index(), check_names=False)
+    src = transcripts.toPandas()
+    # EXACT top-k per group: right count (min(k, group size), so an off-by-one
+    # returning k-1 rows fails) and exactly the k largest values — not merely
+    # "at most k rows containing the max"
+    for conv, grp in src.groupby("conv_id"):
+        want = sorted(grp["turn_idx"].nlargest(3).tolist(), reverse=True)
+        got = sorted(
+            out[out["conv_id"] == conv]["turn_idx"].tolist(), reverse=True
+        )
+        assert got == want, conv
 
 
 def test_single_window_exchange(transcripts):
