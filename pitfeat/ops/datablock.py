@@ -58,12 +58,20 @@ def to_datablocks(df: DataFrame, rows_per_block: int = 4096) -> DataFrame:
 
 
 def write_datablocks(
-    df: DataFrame, out_dir: str, rows_per_block: int = 4096
+    df: DataFrame, out_dir: str, rows_per_block: int = 4096, shared_storage: bool = False
 ) -> DataFrame:
     """Persist DATABLOCKs as one Arrow IPC file per Spark partition
     (``part-<pid>.arrow``), each containing only fixed-size record batches.
     Returns a one-row-per-partition DataFrame of (partition id, n_blocks,
     n_rows) for the metrics sidecar.
+
+    ``out_dir`` is opened with local filesystem APIs (pa.OSFile/os.replace)
+    in EVERY task, so on a multi-node cluster it must be a mount shared by
+    the driver and all executors (NFS/FUSE-mounted object store); a
+    node-local path would silently scatter partial outputs across executor
+    disks and the driver-side freshness check would inspect the wrong disk.
+    Same policy as dedup._scratch_dir: on a non-local master the caller must
+    affirm this with ``shared_storage=True``.
 
     Task-commit protocol: each task writes to a hidden temp name and
     os.replace()s it to the DETERMINISTIC final name part-<partitionId>.arrow
@@ -72,6 +80,14 @@ def write_datablocks(
     crashed attempt leaves only a temp file that readers ignore. The
     destination must not already hold .arrow files (two runs into one dir
     would otherwise silently concatenate)."""
+    master = str(df.sparkSession.conf.get("spark.master", "") or "")
+    if not master.startswith("local") and not shared_storage:
+        raise ValueError(
+            f"write_datablocks: master is {master!r} and out_dir={out_dir!r} is "
+            "written with node-local file APIs from every executor — pass "
+            "shared_storage=True only if out_dir is a filesystem mounted at "
+            "the same path on the driver and ALL executors"
+        )
     os.makedirs(out_dir, exist_ok=True)
     existing = [f for f in os.listdir(out_dir) if f.endswith(".arrow")]
     if existing:

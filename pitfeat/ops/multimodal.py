@@ -98,9 +98,14 @@ def _decode_real(payload: bytes, kind: str) -> np.ndarray:
             "stub decode across executors would corrupt features silently)"
         )
     except Exception:
-        # undecodable payload (synthetic bytes, truncation): deterministic
-        # fallback, never a task failure
-        return _decode_stub(payload, kind)
+        # undecodable payload (corrupt bytes, truncation, unsupported mode):
+        # emit an all-NaN vector — visibly "decode failed", trivially
+        # filterable, never a task failure. NOT a stub fallback: stub vectors
+        # are indistinguishable from real features in the same column, so a
+        # systematically-failing codec would silently interleave fake
+        # features with real ones (the stub leg stays reserved for the
+        # REAL_DECODE=False configuration, where EVERY row is stub).
+        return np.full(8, np.nan)
 
 
 def _decode_stub(payload: bytes, kind: str) -> np.ndarray:

@@ -307,24 +307,41 @@ def _kmeans_centroids(
     """Spherical k-means centroids from a BOUNDED deterministic sample.
 
     Training is the one deliberately driver-side step of IVF (as in every IVF
-    implementation): the sample is hash-thinned to <= ~sample_cap rows BEFORE
-    collect, so driver memory is O(sample_cap * dim) regardless of corpus
-    size — 20k x 64 doubles = 10 MB at the default. Assignment (the per-row
-    work) never leaves the executors. Hash thinning (not .sample()) makes the
-    sample independent of partitioning, so centroids are stable across
-    cluster layouts. Lloyd iterations are seeded numpy: deterministic.
+    implementation): the sample is the ``sample_cap`` rows with the SMALLEST
+    seeded id-hash — a global top-k by hash, which Spark executes as
+    TakeOrderedAndProject (per-partition top-k, O(sample_cap) transfer, ONE
+    corpus scan; the previous modulus-thinning needed a separate ``count()``
+    pass just to size the modulus). Driver memory is O(sample_cap * dim)
+    regardless of corpus size — 20k x 64 doubles = 10 MB at the default.
+    Assignment (the per-row work) never leaves the executors.
+
+    Determinism: both sample MEMBERSHIP and sample ORDER are pure functions
+    of the ids (hash rank, id tie-break, re-sorted driver-side as a belt), so
+    centroids — and therefore nprobe<nlist top-k — are identical across
+    partitionings and parallelism levels. The r3 modulus-thinning version
+    fixed membership but collected in partition order, and rng.choice/argmax
+    see row order, so repartitioning the same corpus changed the centroids.
+    Lloyd iterations are seeded numpy: deterministic.
     """
     import numpy as np
 
-    n = corpus.count()
-    denom = max(1, n // sample_cap)
+    # seed literal FIRST: multi-arg xxhash64 folds left-to-right with the
+    # running hash as next seed, so (col, lit) would be a pure function of
+    # xxhash64(col)
     sample = (
-        corpus.where(F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(denom)) == 0)
-        .select(F.col(vec_col).cast("array<double>"))
+        corpus.select(
+            F.col(id_col).cast("string").alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+            F.xxhash64(F.lit(seed), F.col(id_col)).alias("__h"),
+        )
+        .orderBy(F.col("__h").asc(), F.col("__id").asc())
+        .limit(sample_cap)
         .collect()
     )
+    sample.sort(key=lambda r: (r["__h"], r["__id"]))
     V = np.array(
-        [r[0] for r in sample if r[0] is not None and len(r[0]) == dim], dtype=np.float64
+        [r["__v"] for r in sample if r["__v"] is not None and len(r["__v"]) == dim],
+        dtype=np.float64,
     )
     if len(V) < nlist:
         raise ValueError(f"IVF needs >= nlist={nlist} sample vectors, got {len(V)}")

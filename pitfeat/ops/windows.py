@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 KEY = "conv_id"
 ORD = "turn_idx"
@@ -179,11 +178,16 @@ def _det_tiebreak(df: DataFrame, exclude: tuple[str, ...]):
     hashable column. Without it, row_number over a non-total order picks a
     winner by shuffle arrival order — different runs (or parallelism levels)
     keep different rows, breaking the cross-parallelism determinism checksum.
-    Maps are excluded (Spark refuses to hash them by default)."""
+    Columns containing a map at ANY nesting depth are excluded — Spark's
+    xxhash64 raises DATATYPE_MISMATCH.HASH_MAP_TYPE on nested maps too, not
+    just top-level ones (same recursive rule as asof._orderable; duplicates
+    differing ONLY in such a column resolve by the remaining keys)."""
+    from pitfeat.ops.asof import _orderable
+
     cols = [
         f.name
         for f in df.schema.fields
-        if f.name not in exclude and not isinstance(f.dataType, T.MapType)
+        if f.name not in exclude and _orderable(f.dataType)
     ]
     return F.xxhash64(*[F.col(c) for c in cols]) if cols else F.lit(0)
 

@@ -206,3 +206,20 @@ def test_nearest_duplicates_and_equidistant_deterministic(spark):
         for r in asof_join(left, right, strategy="cogroup", direction="nearest").collect()
     }
     assert out == {"c1": 30.0, "c2": 5.0}
+
+
+def test_asof_default_strategy_documented_and_pinned():
+    """VERDICT r3 #6: the module docstring claimed cogroup was the default
+    while the signature default was window. Pin both the actual default and
+    the docstring's strategy x direction support matrix so they cannot drift
+    apart again."""
+    import inspect
+
+    from pitfeat.ops import asof as A
+
+    assert inspect.signature(A.asof_join).parameters["strategy"].default == "window"
+    assert "``window`` (DEFAULT" in A.__doc__
+    for line in ("window     yes       no       no",
+                 "merge      yes       no       no",
+                 "cogroup    yes       yes      yes"):
+        assert line in A.__doc__

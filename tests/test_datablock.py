@@ -32,3 +32,25 @@ def test_to_datablocks_preserves_rows(spark, transcripts):
     a = df.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     b = out.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_write_datablocks_refuses_nonlocal_master_without_affirmation(tmp_path):
+    """write_datablocks uses node-local file APIs (pa.OSFile/os.replace) in
+    every task and a driver-side freshness check — on a multi-node cluster a
+    non-shared out_dir silently scatters partial outputs across executor
+    disks. Mirrors dedup._scratch_dir's policy: non-local master requires the
+    caller to affirm shared_storage=True (ADVICE r3)."""
+    import pytest
+
+    class _Conf:
+        def get(self, k, d=None):
+            return "spark://cluster:7077"
+
+    class _Sess:
+        conf = _Conf()
+
+    class _DF:
+        sparkSession = _Sess()
+
+    with pytest.raises(ValueError, match="shared_storage"):
+        write_datablocks(_DF(), str(tmp_path / "blocks_guard"))

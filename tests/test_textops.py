@@ -248,12 +248,14 @@ def test_multimodal_decode_self_activation():
 
 
 def test_multimodal_real_leg_fallback_and_loud_import_errors():
-    """The real-decode leg must (a) fall back to the deterministic stub on
-    undecodable payloads — never kill a task on bad bytes — but (b) RAISE on
-    a missing codec lib: the driver probed the libs, so an executor-side
-    ImportError means a heterogeneous cluster image, and silently stubbing
-    there would mix real and stub features in one output. Video always stubs
-    (no ffmpeg binding probed)."""
+    """The real-decode leg must (a) emit an all-NaN vector on undecodable
+    payloads — visibly "failed", never a stub vector masquerading as a real
+    feature (ADVICE r3: a systematically-failing codec would otherwise
+    silently interleave fake features with real ones) and never a task
+    failure — and (b) RAISE on a missing codec lib: the driver probed the
+    libs, so an executor-side ImportError means a heterogeneous cluster
+    image. Video always stubs (no ffmpeg binding probed; systematic per-kind,
+    distinguishable via the kind column)."""
     import pitfeat.ops.multimodal as M
 
     payload = bytes(range(64))
@@ -261,10 +263,7 @@ def test_multimodal_real_leg_fallback_and_loud_import_errors():
         M._decode_real(payload, "video"), M._decode_stub(payload, "video")
     )
     if M.REAL_DECODE:
-        np.testing.assert_allclose(
-            M._decode_real(b"not-an-image", "image"),
-            M._decode_stub(b"not-an-image", "image"),
-        )
+        assert np.isnan(M._decode_real(b"not-an-image", "image")).all()
     else:  # this sandbox: libs absent -> the loud path
         with pytest.raises(ImportError, match="cluster-wide"):
             M._decode_real(payload, "image")
@@ -406,3 +405,33 @@ def test_dedup_corpus_job(spark, tmp_path):
 
     res2 = J.main(["--input", src, "--method", "minhash", "--threshold", "0.99", "--pairs-only"])
     assert res2["pairs_only"] and res2["rows_out"] >= docs.count()  # every planted dup pairs
+
+
+def test_ivf_centroids_partition_layout_invariant(spark):
+    """Centroids must be a pure function of the corpus CONTENT: the r3
+    modulus-thinned sample had layout-independent membership but collected in
+    partition order, and rng.choice/argmax see row order, so repartition(7)
+    of the same corpus produced different centroids — and different
+    nprobe<nlist top-k (ADVICE r3). The hash-ranked sample sorts by
+    (seeded id-hash, id), so any repartitioning yields identical centroids
+    and identical partial-probe results."""
+    import numpy as np
+
+    from pitfeat.ops.similarity import _kmeans_centroids, ivf_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    C1 = _kmeans_centroids(e, "embedding", "vec_id", nlist=8, dim=64, seed=42)
+    C2 = _kmeans_centroids(
+        e.repartition(7), "embedding", "vec_id", nlist=8, dim=64, seed=42
+    )
+    C3 = _kmeans_centroids(
+        e.repartition(3, "vec_id"), "embedding", "vec_id", nlist=8, dim=64, seed=42
+    )
+    assert np.array_equal(C1, C2) and np.array_equal(C1, C3)
+
+    qs = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = sorted(map(tuple, ivf_topk(e, qs, k=5, nlist=8, nprobe=2).collect()))
+    b = sorted(map(tuple, ivf_topk(e.repartition(7), qs, k=5, nlist=8, nprobe=2).collect()))
+    assert a == b

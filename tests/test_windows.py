@@ -225,3 +225,36 @@ def test_dedup_turns_equal_ts_deterministic(spark):
         assert len(out) == 1
         winners.add(out[0]["text"])
     assert len(winners) == 1
+
+
+def test_dedup_turns_nested_map_schema(spark):
+    """Tie-break hashing must skip columns containing a map at ANY depth:
+    Spark's xxhash64 raises DATATYPE_MISMATCH.HASH_MAP_TYPE on nested maps
+    too, so a struct- or array-nested map used to crash dedup_turns /
+    top_k_per_group even though a top-level map worked (ADVICE r3). The map
+    column is excluded from the SORT KEY only — it still flows through."""
+    import datetime as dt
+
+    from pitfeat.ops.windows import dedup_turns, top_k_per_group
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("c", 0, t, ("x", {"k": 1}), [{"m": 2}], 1.0),
+        ("c", 0, t, ("y", {"k": 2}), [{"m": 3}], 2.0),
+        ("c", 1, t, ("z", {"k": 3}), None, 3.0),
+    ]
+    schema = (
+        "conv_id string, turn_idx int, ts timestamp, "
+        "s struct<a:string, m:map<string,int>>, am array<map<string,int>>, v double"
+    )
+    base = spark.createDataFrame(rows, schema)
+    out = dedup_turns(base).collect()
+    assert sorted(r["turn_idx"] for r in out) == [0, 1]
+    # winner among the (c, 0) duplicates is consistent across parallelism
+    winners = set()
+    for parts in (1, 7):
+        got = {r["turn_idx"]: r["v"] for r in dedup_turns(base.repartition(parts)).collect()}
+        winners.add(got[0])
+    assert len(winners) == 1
+    topk = top_k_per_group(base, "v", k=1).collect()
+    assert len(topk) == 1 and topk[0]["v"] == 3.0
