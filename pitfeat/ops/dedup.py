@@ -296,6 +296,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     max_bucket: int = 2000,
     sig_path: str | None = None,
+    small_corpus_rows: int = 50_000,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
@@ -305,7 +306,10 @@ def minhash_lsh_pairs(
     array_intersect/union sizes (JVM-side; see _shingle_hash_udf for the
     collision math). ``sig_path``: where to materialize the signature table —
     REQUIRED on a cluster (shared storage); defaults to a local temp dir with
-    exit cleanup on local[*] masters only (see _scratch_dir)."""
+    exit cleanup on local[*] masters only (see _scratch_dir).
+    ``small_corpus_rows``: below this corpus size the candidate-shingle
+    table is broadcast instead of written (VERDICT r3 #4) — the barrier only
+    pays for itself at scale."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(
         df, text_col, num_hashes, shingle_n, seed, as_array=True
@@ -357,30 +361,66 @@ def minhash_lsh_pairs(
     # Shingles are 64-bit HASHED (fused Arrow kernel) — the Catalyst string
     # pipeline runs interpreted and was this operator's recorded regression.
     texts = df.select(F.col(id_col), F.col(text_col))
-    cand_ids = (
-        cand.select(F.col("id_a").alias(id_col))
-        .unionByName(cand.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    sh_tbl = texts.join(cand_ids, id_col, "left_semi").select(
+    small = sig.count() <= small_corpus_rows
+    if small:
+        # below the threshold the candidate-restriction machinery (union +
+        # distinct + semi-join = three shuffles) costs more than shingling
+        # the whole corpus once — and the broadcast stays bounded by
+        # small_corpus_rows by construction
+        sh_src = texts
+    else:
+        cand_ids = (
+            cand.select(F.col("id_a").alias(id_col))
+            .unionByName(cand.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        sh_src = texts.join(cand_ids, id_col, "left_semi")
+    sh_tbl = sh_src.select(
         F.col(id_col), _shingle_hash_udf(shingle_n)(F.col(text_col)).alias("sh")
     )
-    # materialize once: the two join sides would otherwise each evaluate the
-    # shingle subtree. Candidate shingles are small by construction (bounded
-    # by the banded candidate set, not the corpus), so this write is cheap.
-    sh_path = sig_path.rstrip("/") + "_cand_shingles"
-    if auto_scratch:
-        import atexit
-        import shutil
+    # Materialize once ABOVE the small-corpus threshold: the two join sides
+    # would otherwise each evaluate the shingle subtree, and candidate
+    # shingles are small by construction (bounded by the banded candidate
+    # set, not the corpus), so the write is cheap at scale. BELOW the
+    # threshold the write+read barrier costs more than it saves (VERDICT r3
+    # #4: ~21% of the headline suite was these two tiny-scale barriers), so
+    # broadcast the shingle plan into both joins instead — the kernel then
+    # runs once per side over the tiny candidate set, with zero extra jobs.
+    # The gate reads the ROW COUNT OF THE WRITTEN SIG PARQUET — a metadata-
+    # only job, no data scan — so no new full pass is introduced.
+    if not small:
+        sh_path = sig_path.rstrip("/") + "_cand_shingles"
+        if auto_scratch:
+            import atexit
+            import shutil
 
-        atexit.register(shutil.rmtree, sh_path, ignore_errors=True)
-    sh_tbl.write.mode("overwrite").parquet(sh_path)
-    sh_tbl = df.sparkSession.read.parquet(sh_path)
-    cand = cand.join(
-        sh_tbl.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
-    ).join(
-        sh_tbl.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
-    )
+            atexit.register(shutil.rmtree, sh_path, ignore_errors=True)
+        sh_tbl.write.mode("overwrite").parquet(sh_path)
+        sh_tbl = df.sparkSession.read.parquet(sh_path)
+        cand = cand.join(
+            sh_tbl.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        ).join(
+            sh_tbl.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+        )
+    else:
+        # one broadcast, REUSED by both join sides: the aliased subtrees
+        # canonicalize identically, so exchange-reuse (verified in the
+        # adaptive executed plan: one BroadcastExchange + one
+        # ReusedExchange) makes the shingle kernel run ONCE — same
+        # single-evaluation guarantee as the written table, zero barrier
+        # jobs. The projection-then-broadcast form would NOT reuse (the
+        # differing aliases sit below the exchange).
+        sa, sb = sh_tbl.alias("__sha"), sh_tbl.alias("__shb")
+        cand = (
+            cand.join(F.broadcast(sa), F.col("id_a") == F.col(f"__sha.{id_col}"))
+            .join(F.broadcast(sb), F.col("id_b") == F.col(f"__shb.{id_col}"))
+            .select(
+                "id_a",
+                "id_b",
+                F.col("__sha.sh").alias("sh_a"),
+                F.col("__shb.sh").alias("sh_b"),
+            )
+        )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
