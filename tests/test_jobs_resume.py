@@ -1,0 +1,136 @@
+"""Job-level kill-and-resume proof (VERDICT r3 #2).
+
+A REAL ``spark-submit jobs/build_features.py --resume <id>`` process is
+SIGKILLed (whole process group, JVM included) between the as-of checkpoint
+commit and the features checkpoint commit. The window between the two
+commits is widened deterministically with the documented
+``PITFEAT_TEST_SLEEP_AFTER_ASOF`` fault-injection knob so the kill cannot
+race past the second commit — the kill itself is external and unclean, the
+job gets no chance to finalize anything.
+
+The resumed run must:
+ (a) READ stage 1 instead of recomputing it — its ``_lineage.json`` is
+     byte-identical and untouched on disk (mtime), and the job reports
+     ``resumed_stages.asof == true``;
+ (b) produce output equivalent to a clean, never-killed, never-resumed run:
+     same row count and same order-insensitive bit_xor(xxhash64(features))
+     checksum over the written parquet.
+A third run resumes BOTH stages and reproduces the same checksum.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import signal
+import subprocess
+import time
+
+import pytest
+
+SPARK_SUBMIT = os.environ.get("SPARK_SUBMIT", "/opt/spark/bin/spark-submit")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MARKER = "_SUCCESS_PITFEAT"
+
+
+def _cmd(args: list[str]) -> list[str]:
+    return [
+        SPARK_SUBMIT,
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        os.path.join(REPO, "jobs", "build_features.py"),
+        *args,
+    ]
+
+
+def _run(args: list[str], extra_env: dict | None = None) -> dict:
+    env = dict(os.environ, PYTHONPATH=REPO, **(extra_env or {}))
+    out = subprocess.run(
+        _cmd(args), capture_output=True, text=True, env=env, timeout=600
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        if line.strip().startswith("{"):
+            return json.loads(line.strip())
+    raise RuntimeError(
+        f"no JSON line from job: exit={out.returncode}\n"
+        f"stdout: {out.stdout[-800:]}\nstderr: {out.stderr[-2000:]}"
+    )
+
+
+@pytest.fixture(scope="module")
+def job_inputs(spark, transcripts, snapshots, tmp_path_factory):
+    d = tmp_path_factory.mktemp("resume_inputs")
+    t_path, s_path = str(d / "transcripts.parquet"), str(d / "snapshots.parquet")
+    transcripts.write.mode("overwrite").parquet(t_path)
+    snapshots.write.mode("overwrite").parquet(s_path)
+    return t_path, s_path
+
+
+def test_kill_after_asof_commit_then_resume(job_inputs, tmp_path):
+    t_path, s_path = job_inputs
+    ckroot = str(tmp_path / "ckpt")
+    run_id = "killrun"
+    base = [
+        "--transcripts", t_path,
+        "--snapshots", s_path,
+        "--ckpt-root", ckroot,
+    ]
+
+    # 1. clean baseline: no resume, no checkpoints, fresh JVM
+    out_clean = str(tmp_path / "out_clean")
+    clean = _run(base + ["--out", out_clean])
+    assert clean["rows"] > 0 and clean["resumed"] is False
+
+    # 2. killed run: SIGKILL the process group as soon as the as-of
+    #    checkpoint marker commits (the sleep only widens the inter-commit
+    #    window so the kill deterministically lands inside it)
+    out_res = str(tmp_path / "out_resumed")
+    asof_dir = os.path.join(ckroot, run_id, "asof")
+    feat_dir = os.path.join(ckroot, run_id, "features")
+    env = dict(
+        os.environ, PYTHONPATH=REPO, PITFEAT_TEST_SLEEP_AFTER_ASOF="300"
+    )
+    proc = subprocess.Popen(
+        _cmd(base + ["--resume", run_id, "--out", out_res]),
+        env=env,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+        start_new_session=True,
+    )
+    try:
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            if os.path.exists(os.path.join(asof_dir, MARKER)):
+                break
+            if proc.poll() is not None:
+                pytest.fail("job exited before the as-of checkpoint committed")
+            time.sleep(0.2)
+        else:
+            pytest.fail("as-of checkpoint never committed")
+        os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+    finally:
+        proc.wait(timeout=60)
+
+    assert os.path.exists(os.path.join(asof_dir, MARKER))
+    assert not os.path.exists(os.path.join(feat_dir, MARKER))
+    lineage_path = os.path.join(asof_dir, "_lineage.json")
+    with open(lineage_path, "rb") as f:
+        lineage_before = f.read()
+    mtime_before = os.path.getmtime(lineage_path)
+
+    # 3. resume: stage 1 must be READ (not recomputed), stage 2 computed,
+    #    output equivalent to the clean run
+    resumed = _run(base + ["--resume", run_id, "--out", out_res])
+    assert resumed["resumed_stages"] == {"asof": True, "features": False}
+    assert resumed["rows"] == clean["rows"]
+    assert resumed["checksum"] == clean["checksum"]
+    with open(lineage_path, "rb") as f:
+        assert f.read() == lineage_before
+    assert os.path.getmtime(lineage_path) == mtime_before
+
+    # 4. a further run resumes BOTH stages and reproduces the checksum
+    again = _run(base + ["--resume", run_id, "--out", out_res])
+    assert again["resumed_stages"] == {"asof": True, "features": True}
+    assert again["checksum"] == clean["checksum"]
+    assert again["rows"] == clean["rows"]
