@@ -327,20 +327,37 @@ def _kmeans_centroids(
 
     # seed literal FIRST: multi-arg xxhash64 folds left-to-right with the
     # running hash as next seed, so (col, lit) would be a pure function of
-    # xxhash64(col)
-    sample = (
+    # xxhash64(col).
+    h = F.xxhash64(F.lit(seed), F.col(id_col))
+    # Pass 1 — the cut: k-th smallest id-hash via TakeOrderedAndProject over
+    # the HASH COLUMN ALONE. Doing the global top-k over (hash, vector) rows
+    # instead makes every partition ship its own top-k of vectors to the
+    # driver merge — n_partitions x sample_cap x dim doubles (measured ~2.4s
+    # of a 3.5s query at 50k x 64 x 32 partitions); over bare longs it is
+    # megabytes, and the scan is column-pruned to the id column.
+    cut = (
+        corpus.select(h.alias("__h"))
+        .orderBy("__h")
+        .limit(sample_cap)
+        .agg(F.max("__h").alias("m"))
+        .collect()[0]["m"]
+    )
+    # Pass 2 — fetch exactly the sample rows (hash <= cut), Arrow-batched.
+    # Hash ties at the cut can push the frame a hair past sample_cap; the
+    # deterministic (hash, id) sort + head trims them reproducibly.
+    pdf = (
         corpus.select(
             F.col(id_col).cast("string").alias("__id"),
             F.col(vec_col).cast("array<double>").alias("__v"),
-            F.xxhash64(F.lit(seed), F.col(id_col)).alias("__h"),
+            h.alias("__h"),
         )
-        .orderBy(F.col("__h").asc(), F.col("__id").asc())
-        .limit(sample_cap)
-        .collect()
+        .where(F.col("__h") <= F.lit(cut))
+        .toPandas()
+        .sort_values(["__h", "__id"], kind="mergesort", ignore_index=True)
+        .head(sample_cap)
     )
-    sample.sort(key=lambda r: (r["__h"], r["__id"]))
     V = np.array(
-        [r["__v"] for r in sample if r["__v"] is not None and len(r["__v"]) == dim],
+        [v for v in pdf["__v"] if v is not None and len(v) == dim],
         dtype=np.float64,
     )
     if len(V) < nlist:
