@@ -308,12 +308,14 @@ def _kmeans_centroids(
 
     Training is the one deliberately driver-side step of IVF (as in every IVF
     implementation): the sample is the ``sample_cap`` rows with the SMALLEST
-    seeded id-hash — a global top-k by hash, which Spark executes as
-    TakeOrderedAndProject (per-partition top-k, O(sample_cap) transfer, ONE
-    corpus scan; the previous modulus-thinning needed a separate ``count()``
-    pass just to size the modulus). Driver memory is O(sample_cap * dim)
-    regardless of corpus size — 20k x 64 doubles = 10 MB at the default.
-    Assignment (the per-row work) never leaves the executors.
+    seeded id-hash, fetched in two passes — (1) the k-th-smallest hash over
+    the HASH COLUMN alone (column-pruned scan, TakeOrderedAndProject whose
+    driver merge moves bare longs), then (2) an Arrow-batched fetch of the
+    rows at/below that cut. Neither pass needs the ``count()`` job the r3
+    modulus-thinning used, and neither ships vectors beyond the ~sample_cap
+    selected rows. Driver memory is O(sample_cap * dim) regardless of corpus
+    size — 20k x 64 doubles = 10 MB at the default. Assignment (the per-row
+    work) never leaves the executors.
 
     Determinism: both sample MEMBERSHIP and sample ORDER are pure functions
     of the ids (hash rank, id tie-break, re-sorted driver-side as a belt), so
