@@ -18,6 +18,11 @@ Methods (pitfeat.ops.dedup):
 
 On a real cluster pass ``--sig-path`` pointing at shared storage (the
 signature/bucket tables are written tables; see dedup._scratch_dir).
+``--resume RUN_ID`` checkpoints the near-dup PAIR table (the expensive
+LSH candidate+verify stage) through pitfeat.checkpoint.resume_or_compute —
+same staged-resume discipline as jobs/build_features.py: a re-run after a
+crash reads the committed pair table instead of recomputing it, and a
+param/input change invalidates the checkpoint via the lineage hash.
 Prints one JSON line: rows in, rows out (or pairs), seconds.
 """
 
@@ -34,33 +39,63 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from pitfeat.checkpoint import resume_or_compute
 from pitfeat.ops.dedup import exact_dedup, minhash_lsh_pairs, simhash_near_pairs
+
+
+def _config_hash(args) -> str:
+    """Per-run config fingerprint for checkpoint lineage: any change to the
+    dedup-relevant parameters must invalidate a resumed pair table."""
+    import hashlib
+
+    key = json.dumps(
+        {
+            k: getattr(args, k)
+            for k in ("method", "text_col", "id_col", "threshold", "max_hamming")
+        },
+        sort_keys=True,
+    )
+    return hashlib.sha256(key.encode()).hexdigest()[:16]
 
 
 def run(spark: SparkSession, args) -> dict:
     df = spark.read.parquet(args.input)
     n_in = df.count()
     t0 = time.perf_counter()
+    resumed_pairs = False
     if args.method == "exact":
         out = exact_dedup(df, text_col=args.text_col, id_col=args.id_col)
         pairs = None
     else:
-        if args.method == "minhash":
-            pairs = minhash_lsh_pairs(
-                df,
-                text_col=args.text_col,
-                id_col=args.id_col,
-                threshold=args.threshold,
-                sig_path=args.sig_path,
-            )
-        else:
-            pairs = simhash_near_pairs(
+        def compute_pairs():
+            if args.method == "minhash":
+                return minhash_lsh_pairs(
+                    df,
+                    text_col=args.text_col,
+                    id_col=args.id_col,
+                    threshold=args.threshold,
+                    sig_path=args.sig_path,
+                )
+            return simhash_near_pairs(
                 df,
                 text_col=args.text_col,
                 id_col=args.id_col,
                 max_hamming=args.max_hamming,
                 sig_path=args.sig_path,
             )
+
+        if args.resume:
+            ckpt = os.path.join(args.ckpt_root, args.resume, "pairs")
+            pairs, resumed_pairs = resume_or_compute(
+                spark,
+                ckpt,
+                "pairs",
+                _config_hash(args),
+                compute_pairs,
+                inputs=[args.input],
+            )
+        else:
+            pairs = compute_pairs()
         if args.pairs_only:
             out = pairs
         else:
@@ -79,6 +114,7 @@ def run(spark: SparkSession, args) -> dict:
         "rows_in": n_in,
         "rows_out": n_out,
         "pairs_only": bool(args.pairs_only and args.method != "exact"),
+        "resumed_pairs": resumed_pairs,
         "sec": round(time.perf_counter() - t0, 3),
     }
 
@@ -94,6 +130,8 @@ def main(argv=None):
     ap.add_argument("--max-hamming", type=int, default=3, help="simhash distance cutoff")
     ap.add_argument("--sig-path", default=None, help="shared-storage dir for signature tables (REQUIRED on a cluster)")
     ap.add_argument("--pairs-only", action="store_true", help="write the near-dup PAIR table instead of the survivor corpus")
+    ap.add_argument("--resume", default=None, help="run id: checkpoint/resume the pair stage")
+    ap.add_argument("--ckpt-root", default="/tmp/pitfeat_ckpt")
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName("pitfeat-dedup").getOrCreate()

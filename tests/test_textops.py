@@ -612,3 +612,43 @@ def test_sample_frames_against_oracle(spark):
             assert r["frame_ms"] == r["frame_idx"] * 250
             expected = bytes((b + r["frame_idx"]) % 256 for b in payload[:32])
             assert bytes(r["frame_payload"]) == expected
+
+
+def test_dedup_corpus_job_resume(spark, tmp_path):
+    """--resume checkpoints the pair stage: the second run must READ the
+    committed pair table (resumed_pairs=True, lineage untouched) and produce
+    the identical survivor set; changing a dedup parameter must invalidate
+    the checkpoint (different config hash => recompute)."""
+    import os
+
+    import jobs.dedup_corpus as J
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    doubled = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    src = str(tmp_path / "docs_in")
+    doubled.write.mode("overwrite").parquet(src)
+    ckroot = str(tmp_path / "ck")
+    base = ["--input", src, "--method", "minhash", "--threshold", "0.99",
+            "--resume", "r1", "--ckpt-root", ckroot]
+
+    out1 = str(tmp_path / "out1")
+    r1 = J.main(base + ["--out", out1])
+    assert r1["resumed_pairs"] is False
+    lineage = os.path.join(ckroot, "r1", "pairs", "_lineage.json")
+    with open(lineage, "rb") as f:
+        lin1 = f.read()
+
+    out2 = str(tmp_path / "out2")
+    r2 = J.main(base + ["--out", out2])
+    assert r2["resumed_pairs"] is True
+    assert r2["rows_out"] == r1["rows_out"]
+    with open(lineage, "rb") as f:
+        assert f.read() == lin1  # read, not rewritten
+    a = sorted(r["doc_id"] for r in spark.read.parquet(out1).select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in spark.read.parquet(out2).select("doc_id").collect())
+    assert a == b
+
+    # changed threshold => different config hash => checkpoint invalid
+    r3 = J.main(["--input", src, "--method", "minhash", "--threshold", "0.5",
+                 "--resume", "r1", "--ckpt-root", ckroot, "--pairs-only"])
+    assert r3["resumed_pairs"] is False
