@@ -61,6 +61,165 @@ def _score_and_rank(
     )
 
 
+# ---------------------------------------------------------------------------
+# Matrix-scored top-k engine (shared by cosine_topk / lsh_topk / ivf_topk)
+# ---------------------------------------------------------------------------
+#
+# The r3 pair-join paths materialized one row per (corpus, query) candidate
+# and scored it with aggregate(zip_with(...)) — Catalyst higher-order
+# functions, which run INTERPRETED (~6.5 us/pair measured at dim 64; the
+# same trap that cost d2 its shingle pipeline and s2 its literal
+# hyperplanes). This engine never expands pairs: ONE Arrow pass over the
+# corpus computes a (batch x nq) score matmul against the broadcast query
+# matrix, keeps a per-partition top-k per query (ties at the boundary kept
+# in full), and only ~n_partitions x nq x k tiny rows reach the final
+# global rank. The pair-join implementations are retained below as parity
+# oracles (tests assert identical output), the same discipline as
+# _multi_table_buckets_expr.
+
+
+def _rank_topk(scored: DataFrame, k: int, id_col: str, query_id_col: str) -> DataFrame:
+    """Global (cosine desc, id asc) rank-to-k over pre-scored candidates —
+    the same tie rule as _score_and_rank, single-sourced for the engine."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def _query_matrix(queries: DataFrame, query_id_col: str, vec_col: str, dim: int):
+    """Driver-side collect of the (small by contract) query set: ids, a
+    (nq, dim) float64 matrix with zero rows for null/ragged vectors, and the
+    validity mask (invalid queries keep the bucket-0 semantics of the
+    executor kernels)."""
+    import numpy as np
+
+    rows = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>")
+    ).collect()
+    qids, vecs, ok = [], [], []
+    for r in rows:
+        v = r[1]
+        valid = v is not None and len(v) == dim
+        qids.append(r[0])
+        ok.append(valid)
+        vecs.append(np.asarray(v, dtype=np.float64) if valid else np.zeros(dim))
+    Q = np.vstack(vecs) if vecs else np.zeros((0, dim))
+    return qids, Q, np.array(ok, dtype=bool)
+
+
+def _matrix_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    dim: int,
+    cand_masker=None,
+) -> DataFrame:
+    """Matrix-scored top-k: one mapInPandas pass over the corpus, per-query
+    per-partition top-k inside the kernel, global rank over the survivors.
+
+    ``cand_masker(V, ok) -> (n, nq) bool`` restricts scoring to bucket/list
+    candidates (None = brute force). V is the raw (zero-padded) batch matrix
+    and ok its validity mask, so maskers reuse the exact executor-side
+    bucket math (_sigs_np / _probe_np). Null/ragged corpus vectors score 0.0
+    and keep the pair-join paths' bucket-0 membership.
+
+    Scale shape: the corpus crosses Arrow ONCE (no xTables explode, no pair
+    rows); per-partition output is <= nq x k rows (+boundary ties), so the
+    final rank shuffles a few thousand rows regardless of corpus size.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    qids, Q, _q_ok = _query_matrix(queries, query_id_col, vec_col, dim)
+    nq = len(qids)
+    # Scores and norms use per-row np.add.reduce (numpy's pairwise
+    # summation, whose order depends only on dim) instead of GEMM: BLAS
+    # picks blocking/SIMD accumulation by MATRIX SHAPE, so a V @ Q.T score
+    # would differ in the last ulps between partitionings (batch sizes
+    # change) — breaking the engine's cross-parallelism bit-exactness,
+    # which the r3 per-pair expression path had and the layout-invariance
+    # test pins. The bucket/list maskers keep their GEMMs: sign/argmax
+    # flips need a dot within rounding of a boundary (measure-zero,
+    # documented in _table_sigs_udf since r3).
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id_col, queries.schema[query_id_col].dataType),
+            T.StructField(id_col, corpus.schema[id_col].dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    spark = corpus.sparkSession
+    if nq == 0:
+        return spark.createDataFrame([], out_schema).withColumn(
+            "rank", F.lit(0)
+        ).where(F.lit(False))
+    Qn = np.sqrt(np.add.reduce(Q * Q, axis=1))
+
+    src = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+
+    def kernel(batches):
+        buf_ids = [[] for _ in range(nq)]
+        buf_cos = [[] for _ in range(nq)]
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            raw = pdf["__v"].to_numpy()
+            ok = np.array([v is not None and len(v) == dim for v in raw], dtype=bool)
+            V = np.zeros((n, dim), dtype=np.float64)
+            if ok.any():
+                V[ok] = np.vstack([np.asarray(v, dtype=np.float64) for v in raw[ok]])
+            ids = pdf[id_col].to_numpy()
+            S = np.empty((n, nq), dtype=np.float64)
+            for qi in range(nq):
+                S[:, qi] = np.add.reduce(V * Q[qi], axis=1)
+            vn = np.sqrt(np.add.reduce(V * V, axis=1))
+            denom = vn[:, None] * Qn[None, :]
+            C = np.where(denom > 0, S / np.where(denom > 0, denom, 1.0), 0.0)
+            M = cand_masker(V, ok) if cand_masker is not None else None
+            for qi in range(nq):
+                c, bids = C[:, qi], ids
+                if M is not None:
+                    sel = M[:, qi]
+                    if not sel.any():
+                        continue
+                    c, bids = c[sel], bids[sel]
+                if len(c) > k:
+                    # batch prune to the k-th-largest score, keeping ALL
+                    # boundary ties: dropping an arbitrary tied row here
+                    # could drop the one the global id-asc tie-break keeps
+                    kth = np.partition(c, len(c) - k)[len(c) - k]
+                    keep = c >= kth
+                    c, bids = c[keep], bids[keep]
+                buf_cos[qi].append(c)
+                buf_ids[qi].append(bids)
+        rows_q, rows_i, rows_c = [], [], []
+        for qi in range(nq):
+            if not buf_cos[qi]:
+                continue
+            c = np.concatenate(buf_cos[qi])
+            bi = np.concatenate(buf_ids[qi])
+            # exact partition top-k under the global tie rule
+            order = sorted(range(len(c)), key=lambda j: (-c[j], bi[j]))[:k]
+            rows_q.extend(qids[qi] for _ in order)
+            rows_i.extend(bi[j] for j in order)
+            rows_c.extend(float(c[j]) for j in order)
+        yield pd.DataFrame({query_id_col: rows_q, id_col: rows_i, "cosine": rows_c})
+
+    return _rank_topk(src.mapInPandas(kernel, schema=out_schema), k, id_col, query_id_col)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -68,12 +227,38 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int | None = None,
 ) -> DataFrame:
-    """Exact brute-force cosine top-k: broadcast the query set, score every
-    (query, corpus) pair JVM-side, window-rank to k. O(|corpus| x |queries|)
-    compute but zero Python and one shuffle (the rank)."""
-    # cast to double arrays: float32 products drift ~1e-7/term vs any
-    # double-math oracle, and mixed-precision cosine is simply less accurate
+    """Exact brute-force cosine top-k via the matrix engine: every corpus
+    vector scores against the full (broadcast) query matrix in one Arrow
+    matmul pass; per-partition top-k; global rank. O(|corpus| x |queries|)
+    compute, one tiny shuffle. ``dim`` defaults to the first query vector's
+    length (the engine's fixed width; mismatched corpus vectors score 0.0)."""
+    if dim is None:
+        dim = _infer_dim(queries, vec_col)
+    return _matrix_topk(corpus, queries, k, id_col, vec_col, query_id_col, dim)
+
+
+def _infer_dim(queries: DataFrame, vec_col: str) -> int:
+    first = queries.select(F.col(vec_col).cast("array<double>")).where(
+        F.col(vec_col).isNotNull()
+    ).head(1)
+    if not first:
+        raise ValueError("cannot infer embedding dim: no non-null query vector")
+    return len(first[0][0])
+
+
+def _cosine_topk_pairjoin(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Pair-join reference implementation (r3 path): broadcast crossJoin +
+    interpreted-HOF cosine. Kept ONLY as the parity oracle for the matrix
+    engine (tests/test_textops.py asserts identical output)."""
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qv")
     )
@@ -123,6 +308,18 @@ def lsh_signatures(
     return df.withColumn("lsh_bucket", sig)
 
 
+def _sigs_np(V_ok, H, nbits: int, tables: int):
+    """(n, dim) float64 -> (n, tables) int64 per-table bucket ids. The ONE
+    definition of the signature math — used by the executor-side Arrow
+    kernel AND by the driver-side query bucketing of the matrix top-k
+    engine, so the two can never drift."""
+    import numpy as np
+
+    weights = (np.int64(1) << np.arange(nbits, dtype=np.int64))[None, None, :]
+    bits = (V_ok @ H) >= 0.0  # (n, tables*nbits)
+    return ((bits.reshape(-1, tables, nbits).astype(np.int64)) * weights).sum(axis=2)
+
+
 def _table_sigs_udf(nbits: int, tables: int, dim: int, seed: int):
     """Fused Arrow kernel: embedding -> array<long> of per-table bucket ids.
 
@@ -145,7 +342,6 @@ def _table_sigs_udf(nbits: int, tables: int, dim: int, seed: int):
     from pyspark.sql.functions import pandas_udf
 
     H = _hyperplane_matrix(dim, nbits, tables, seed).T  # (dim, tables*nbits)
-    weights = (np.int64(1) << np.arange(nbits, dtype=np.int64))[None, None, :]
 
     def kernel(vecs):
         n = len(vecs)
@@ -158,11 +354,7 @@ def _table_sigs_udf(nbits: int, tables: int, dim: int, seed: int):
         sigs = np.zeros((n, tables), dtype=np.int64)
         if ok.any():
             V = np.vstack([np.asarray(v, dtype=np.float64) for v in raw[ok]])
-            bits = (V @ H) >= 0.0  # (n_ok, tables*nbits)
-            packed = (
-                (bits.reshape(-1, tables, nbits).astype(np.int64)) * weights
-            ).sum(axis=2)
-            sigs[ok] = packed
+            sigs[ok] = _sigs_np(V, H, nbits, tables)
         return pd.Series(list(sigs))
 
     kernel.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
@@ -217,9 +409,48 @@ def lsh_topk(
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """ANN top-k: bucket join on multi-table LSH signatures, exact cosine
-    re-rank inside buckets. Recall < 1.0 by design; raise ``tables`` (recall)
-    or ``nbits`` (precision/cost), or fall back to cosine_topk for exactness."""
+    """ANN top-k: candidates share any table's hyperplane-signature bucket;
+    exact cosine re-ranks candidates. Runs on the matrix engine: query
+    buckets are derived driver-side with the SAME numpy math (_sigs_np) the
+    executor kernel uses, the corpus crosses Arrow once computing its own
+    signatures + masked scores, and no xTables explode or pair rows ever
+    materialize. Recall < 1.0 by design; raise ``tables`` (recall) or
+    ``nbits`` (precision/cost), or fall back to cosine_topk for exactness."""
+    import numpy as np
+
+    H = _hyperplane_matrix(dim, nbits, tables, seed).T  # (dim, tables*nbits)
+    qids, Q, q_ok = _query_matrix(queries, query_id_col, vec_col, dim)
+    qsigs = np.zeros((len(qids), tables), dtype=np.int64)
+    if q_ok.any():
+        qsigs[q_ok] = _sigs_np(Q[q_ok], H, nbits, tables)
+
+    def masker(V, ok):
+        sigs = np.zeros((len(V), tables), dtype=np.int64)
+        if ok.any():
+            sigs[ok] = _sigs_np(V[ok], H, nbits, tables)
+        # candidate iff same bucket in the SAME table, any table
+        return (sigs[:, None, :] == qsigs[None, :, :]).any(axis=2)
+
+    return _matrix_topk(
+        corpus, queries, k, id_col, vec_col, query_id_col, dim, cand_masker=masker
+    )
+
+
+def _lsh_topk_pairjoin(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nbits: int = 8,
+    tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Pair-join reference implementation (r3 path): xTables bucket explode,
+    broadcast bucket join, interpreted-HOF re-rank. Kept ONLY as the parity
+    oracle for the matrix engine."""
     c = _multi_table_buckets(
         corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv")),
         "__cv", nbits, tables, dim, seed,
@@ -380,6 +611,19 @@ def _kmeans_centroids(
     return C
 
 
+def _probe_np(V_ok, CT, nprobe: int):
+    """(n, dim) float64 -> (n, nprobe) int32 nearest-centroid list ids
+    (argsort desc, stable: ties resolve to the lower list id). The ONE
+    definition of the probe math — shared by the executor kernel and the
+    driver-side query probing of the matrix top-k engine."""
+    import numpy as np
+
+    dots = V_ok @ CT  # (n, nlist)
+    if nprobe == 1:
+        return np.argmax(dots, axis=1).astype(np.int32).reshape(-1, 1)
+    return np.argsort(-dots, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
+
+
 def _ivf_lists_udf(C, dim: int, nprobe: int):
     """Fused Arrow kernel: embedding -> array<int> of the nprobe nearest
     centroid ids (one (batch x dim) @ (dim x nlist) matmul per Arrow batch;
@@ -401,13 +645,7 @@ def _ivf_lists_udf(C, dim: int, nprobe: int):
         out = np.zeros((n, nprobe), dtype=np.int32)
         if ok.any():
             V = np.vstack([np.asarray(v, dtype=np.float64) for v in raw[ok]])
-            dots = V @ CT  # (n_ok, nlist)
-            if nprobe == 1:
-                out[ok, 0] = np.argmax(dots, axis=1)
-            else:
-                # argsort desc, stable: ties resolve to the lower list id
-                idx = np.argsort(-dots, axis=1, kind="stable")[:, :nprobe]
-                out[ok] = idx
+            out[ok] = _probe_np(V, CT, nprobe)
         return pd.Series(list(out))
 
     kernel.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
@@ -435,12 +673,56 @@ def ivf_topk(
     training step. Recall < 1.0 by design — raise ``nprobe`` toward ``nlist``
     for recall, or fall back to cosine_topk for exactness.
 
-    Scale shape: per-query candidate work is ~nprobe/nlist of the corpus, the
-    probe join is an equi-join on list_id with the (small, broadcast) query
-    side, and the only full-corpus passes are one Arrow matmul (assignment)
-    and the re-rank of probed lists. Never an all-pairs product. Pass
-    ``centroids`` (numpy (nlist, dim)) to reuse a trained codebook across
-    calls/corpora — e.g. train once, assign daily increments."""
+    Scale shape (matrix engine): per-query candidate work is ~nprobe/nlist
+    of the corpus; query probe lists come from the SAME numpy math
+    (_probe_np) driver-side, and ONE Arrow pass over the corpus computes
+    assignment + masked scores + per-partition top-k — never an all-pairs
+    product, never pair rows. Pass ``centroids`` (numpy (nlist, dim)) to
+    reuse a trained codebook across calls/corpora — e.g. train once, assign
+    daily increments."""
+    if not 1 <= nprobe <= nlist:
+        raise ValueError(f"nprobe must be in [1, nlist={nlist}], got {nprobe}")
+    import numpy as np
+
+    C = (
+        centroids
+        if centroids is not None
+        else _kmeans_centroids(corpus, vec_col, id_col, nlist, dim, seed)
+    )
+    CT = np.asarray(C, dtype=np.float64).T.copy()  # (dim, nlist)
+    qids, Q, q_ok = _query_matrix(queries, query_id_col, vec_col, dim)
+    qprobes = np.zeros((len(qids), nprobe), dtype=np.int32)
+    if q_ok.any():
+        qprobes[q_ok] = _probe_np(Q[q_ok], CT, nprobe)
+
+    def masker(V, ok):
+        clist = np.zeros(len(V), dtype=np.int32)
+        if ok.any():
+            clist[ok] = _probe_np(V[ok], CT, 1)[:, 0]
+        # candidate iff the row's inverted list is among the query's probes
+        return (clist[:, None, None] == qprobes[None, :, :]).any(axis=2)
+
+    return _matrix_topk(
+        corpus, queries, k, id_col, vec_col, query_id_col, dim, cand_masker=masker
+    )
+
+
+def _ivf_topk_pairjoin(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nlist: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    centroids=None,
+) -> DataFrame:
+    """Pair-join reference implementation (r3 path): list-id equi-join with
+    the exploded query probes, interpreted-HOF re-rank. Kept ONLY as the
+    parity oracle for the matrix engine."""
     if not 1 <= nprobe <= nlist:
         raise ValueError(f"nprobe must be in [1, nlist={nlist}], got {nprobe}")
     c_base = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv"))

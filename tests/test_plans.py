@@ -79,12 +79,20 @@ def test_no_persisted_rdds_leak(spark, transcripts, snapshots):
 
 
 def test_ann_plans_have_no_rowwise_python(spark):
-    """s2 (LSH) and s4 (IVF) assignment kernels must plan as Arrow-batched
-    pandas UDFs (ArrowEvalPython), never row-at-a-time BatchEvalPython, and
-    the probe/bucket joins must broadcast the query side."""
+    """The matrix top-k engine (s1/s2/s4) must plan exactly ONE Arrow-batched
+    MapInPandas pass over the corpus — no pair rows, no xTables explode, no
+    row-at-a-time BatchEvalPython — plus a single exchange for the final
+    rank window. The retained pair-join parity oracles keep their r3 shape
+    (ArrowEvalPython assignment kernels + broadcast query join)."""
     import numpy as np
 
-    from pitfeat.ops.similarity import ivf_topk, lsh_topk
+    from pitfeat.ops.similarity import (
+        _ivf_topk_pairjoin,
+        _lsh_topk_pairjoin,
+        cosine_topk,
+        ivf_topk,
+        lsh_topk,
+    )
 
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     qs = e.where(F.col("vec_id") < 3).select(
@@ -92,8 +100,17 @@ def test_ann_plans_have_no_rowwise_python(spark):
     )
     C = np.eye(8, 64)  # fixed codebook: keeps the plan free of the training job
     for out in (
+        cosine_topk(e, qs, k=5),
         lsh_topk(e, qs, k=5, nbits=1, tables=4),
         ivf_topk(e, qs, k=5, nlist=8, nprobe=2, centroids=C),
+    ):
+        plan = _plan(out)
+        assert "BatchEvalPython" not in plan
+        assert plan.count("MapInPandas") == 1, plan[:800]
+        assert plan.count("Exchange") <= 1, plan[:800]  # only the rank window
+    for out in (
+        _lsh_topk_pairjoin(e, qs, k=5, nbits=1, tables=4),
+        _ivf_topk_pairjoin(e, qs, k=5, nlist=8, nprobe=2, centroids=C),
     ):
         plan = _plan(out)
         assert "BatchEvalPython" not in plan

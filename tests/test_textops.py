@@ -652,3 +652,85 @@ def test_dedup_corpus_job_resume(spark, tmp_path):
     r3 = J.main(["--input", src, "--method", "minhash", "--threshold", "0.5",
                  "--resume", "r1", "--ckpt-root", ckroot, "--pairs-only"])
     assert r3["resumed_pairs"] is False
+
+
+# ---------- matrix top-k engine parity (r4) ----------
+
+
+def test_matrix_engine_parity_with_pairjoin(spark, embs):
+    """The r4 matrix-scored top-k engine must return EXACTLY what the r3
+    pair-join paths return (same ids, same ranks, cosines equal to 1e-9) on
+    the contract configurations — the pair-join implementations are retained
+    precisely as parity oracles."""
+    from pitfeat.ops import similarity as SIM
+
+    qs = embs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def norm(df):
+        return sorted(
+            (r.query_id, r.vec_id, round(r.cosine, 9), r.rank) for r in df.collect()
+        )
+
+    assert norm(SIM.cosine_topk(embs, qs, k=5)) == norm(
+        SIM._cosine_topk_pairjoin(embs, qs, k=5)
+    )
+    assert norm(SIM.lsh_topk(embs, qs, k=5, nbits=1, tables=16)) == norm(
+        SIM._lsh_topk_pairjoin(embs, qs, k=5, nbits=1, tables=16)
+    )
+    C = SIM._kmeans_centroids(embs, "embedding", "vec_id", nlist=8, dim=64, seed=42)
+    for nprobe in (2, 8):
+        assert norm(
+            SIM.ivf_topk(embs, qs, k=5, nlist=8, nprobe=nprobe, centroids=C)
+        ) == norm(
+            SIM._ivf_topk_pairjoin(embs, qs, k=5, nlist=8, nprobe=nprobe, centroids=C)
+        )
+
+
+def test_matrix_engine_edge_semantics(spark):
+    """Engine edge cases must match the pair-join semantics exactly:
+    duplicate vectors tie on cosine and resolve by id ASC; null corpus and
+    null query vectors score 0.0 (bucket 0) and may fill tail slots when k
+    exceeds the candidate count; results are identical at any partitioning
+    (per-partition top-k union is rank-invariant)."""
+    import numpy as np
+
+    from pitfeat.ops import similarity as SIM
+
+    rs = np.random.RandomState(7)
+    base = [(i, rs.normal(size=8).tolist()) for i in range(20)]
+    base.append((20, list(base[0][1])))  # exact duplicate of vec 0 -> cosine tie
+    base.append((21, None))  # null corpus vector
+    corpus = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    qs = spark.createDataFrame(
+        [(0, list(base[0][1])), (1, None)], "query_id long, embedding array<double>"
+    )
+
+    def norm(df):
+        return sorted(
+            (r.query_id, r.vec_id, round(r.cosine, 9), r.rank) for r in df.collect()
+        )
+
+    got = norm(SIM.cosine_topk(corpus, qs, k=23, dim=8))
+    oracle = norm(SIM._cosine_topk_pairjoin(corpus, qs, k=23))
+    assert got == oracle
+    # duplicate pair: identical cosine, id-asc order
+    q0 = [(vid, rank) for (q, vid, c, rank) in got if q == 0 and c == round(1.0, 9)]
+    assert q0 == [(0, 1), (20, 2)]
+    # null query: every cosine 0.0, ranked purely by id asc
+    nullq = [(vid, c) for (q, vid, c, rank) in got if q == 1]
+    assert all(c == 0.0 for _, c in nullq)
+    # partitioning invariance
+    got7 = norm(SIM.cosine_topk(corpus.repartition(7), qs, k=23, dim=8))
+    assert got7 == got
+
+    assert norm(SIM.lsh_topk(corpus, qs, k=23, nbits=2, tables=4, dim=8)) == norm(
+        SIM._lsh_topk_pairjoin(corpus, qs, k=23, nbits=2, tables=4, dim=8)
+    )
+    C = np.eye(4, 8)
+    assert norm(
+        SIM.ivf_topk(corpus, qs, k=23, nlist=4, nprobe=2, dim=8, centroids=C)
+    ) == norm(
+        SIM._ivf_topk_pairjoin(corpus, qs, k=23, nlist=4, nprobe=2, dim=8, centroids=C)
+    )
