@@ -463,6 +463,46 @@ def _lsh_topk_pairjoin(
     return _score_and_rank(joined, k, id_col, query_id_col)
 
 
+def _pair_cosine_udf(dim: int):
+    """Arrow kernel: (va, vb) -> cosine for already-joined candidate PAIRS —
+    the verify stage of embedding_near_dup_pairs, where the pair rows exist
+    by construction (bucketed candidates) and only the scoring was left on
+    interpreted HOF expressions (~6.5 us/pair). Per-row pairwise summation
+    (np.add.reduce), so values are bit-stable across batch shapes like the
+    matrix engine's. Null/ragged pairs score 0.0 — same observable
+    behavior as the HOF path at any positive threshold (HOF yields NULL for
+    ragged and 0.0 for null inputs; both fail `cosine >= threshold`)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def kernel(va, vb):
+        n = len(va)
+        out = np.zeros(n, dtype=np.float64)
+        if n == 0:
+            return pd.Series(out)
+        ra, rb = va.to_numpy(), vb.to_numpy()
+        ok = np.array(
+            [
+                a is not None and b is not None and len(a) == dim and len(b) == dim
+                for a, b in zip(ra, rb)
+            ],
+            dtype=bool,
+        )
+        if ok.any():
+            A = np.vstack([np.asarray(a, dtype=np.float64) for a in ra[ok]])
+            B = np.vstack([np.asarray(b, dtype=np.float64) for b in rb[ok]])
+            dots = np.add.reduce(A * B, axis=1)
+            denom = np.sqrt(np.add.reduce(A * A, axis=1)) * np.sqrt(
+                np.add.reduce(B * B, axis=1)
+            )
+            out[ok] = np.where(denom > 0, dots / np.where(denom > 0, denom, 1.0), 0.0)
+        return pd.Series(out)
+
+    kernel.__annotations__ = {"va": pd.Series, "vb": pd.Series, "return": pd.Series}
+    return pandas_udf(kernel, "double")
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -510,10 +550,8 @@ def embedding_near_dup_pairs(
     cand = cand.join(
         base.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va")), "id_a"
     ).join(base.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb")), "id_b")
-    denom = _norm(F.col("va")) * _norm(F.col("vb"))
-    cos = F.when(denom > 0, _dot(F.col("va"), F.col("vb")) / denom).otherwise(F.lit(0.0))
     return (
-        cand.withColumn("cosine", cos)
+        cand.withColumn("cosine", _pair_cosine_udf(dim)(F.col("va"), F.col("vb")))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
         .dropDuplicates(["id_a", "id_b"])
