@@ -734,3 +734,51 @@ def test_matrix_engine_edge_semantics(spark):
     ) == norm(
         SIM._ivf_topk_pairjoin(corpus, qs, k=23, nlist=4, nprobe=2, dim=8, centroids=C)
     )
+
+
+def test_matrix_engine_randomized_parity_sweep(spark):
+    """Randomized parity sweep: engine == pair-join oracle on multiple
+    corpus shapes (dims, sizes, planted exact dups, a null row), ops and k
+    values (k=1, mid, k > corpus). Seeds are fixed — failures reproduce."""
+    import numpy as np
+
+    from pitfeat.ops import similarity as SIM
+
+    def norm(df):
+        return sorted(
+            (r.query_id, r.vec_id, round(r.cosine, 9), r.rank) for r in df.collect()
+        )
+
+    for seed, dim, n in ((11, 8, 120), (12, 16, 250)):
+        rs = np.random.RandomState(seed)
+        rows = [(i, rs.normal(size=dim).tolist()) for i in range(n)]
+        rows.append((n, rows[3][1]))      # planted exact duplicate
+        rows.append((n + 1, None))        # null vector
+        corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        qs = spark.createDataFrame(
+            [(i, rows[i][1]) for i in (0, 3, 7)],
+            "query_id long, embedding array<double>",
+        )
+        C = SIM._kmeans_centroids(
+            corpus, "embedding", "vec_id", nlist=4, dim=dim, seed=seed
+        )
+        for k in (1, 5, n + 10):
+            assert norm(SIM.cosine_topk(corpus, qs, k=k, dim=dim)) == norm(
+                SIM._cosine_topk_pairjoin(corpus, qs, k=k)
+            ), (seed, "cosine", k)
+            assert norm(
+                SIM.lsh_topk(corpus, qs, k=k, nbits=2, tables=3, dim=dim, seed=seed)
+            ) == norm(
+                SIM._lsh_topk_pairjoin(
+                    corpus, qs, k=k, nbits=2, tables=3, dim=dim, seed=seed
+                )
+            ), (seed, "lsh", k)
+            assert norm(
+                SIM.ivf_topk(
+                    corpus, qs, k=k, nlist=4, nprobe=2, dim=dim, centroids=C
+                )
+            ) == norm(
+                SIM._ivf_topk_pairjoin(
+                    corpus, qs, k=k, nlist=4, nprobe=2, dim=dim, centroids=C
+                )
+            ), (seed, "ivf", k)
