@@ -780,9 +780,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # on the driver corpora (verified at sf0.001/0.01/0.1; analytic
         # all-tables-miss probability ~4e-7 per neighbor): the ANN result
         # then equals the exact top-k and the s1 SQL oracle checks BOTH the
-        # returned cosines/ranks and full recall. The bucket join is still the
-        # real ANN path (never an all-pairs product); 1-bit tables halve the
-        # hyperplane expression tree vs 2-bit (planning cost, measured).
+        # returned cosines/ranks and full recall. The bucket restriction is
+        # still the real ANN path (r4: in-kernel signature masking on the
+        # matrix engine — candidates never materialize as pair rows).
         e = _t(spark, sf, "embeddings")
         queries_df = e.where(F.col("vec_id") < 3).select(
             F.col("vec_id").alias("query_id"), "embedding"
