@@ -1,16 +1,18 @@
 """Similarity search over embedding columns (array<float>).
 
-- brute-force cosine top-k: the exactness baseline. The dot product is a pure
-  Catalyst ``aggregate(zip_with(...))`` expression — JVM-side, no Python — and
-  top-k per query uses a window rank, so the only shuffle is the rank
-  partitioning. Query set is broadcast (it is small by construction).
-- LSH-bucketed ANN (random hyperplane / signed projection):
-  each vector gets a ``nbits``-bit signature from fixed hash-derived
-  hyperplanes; candidates share a signature bucket (optionally with multiple
-  tables); exact cosine re-ranks inside buckets. This is the 100TB path: the
-  all-pairs product never materializes.
-- embedding-cosine near-dup: pairs with cosine >= threshold via the same LSH
-  bucketing.
+All three top-k ops (brute-force cosine, multi-table hyperplane LSH, IVF)
+run on the shared matrix engine (``_matrix_topk``, r4): the small-by-
+contract query set is collected into one numpy matrix, ONE Arrow pass over
+the corpus scores each batch against it (masked to bucket/list candidates
+for the ANN ops, using the SAME numpy bucket math as the executor
+kernels), a per-partition per-query top-k keeps boundary ties, and only
+~partitions x nq x k rows reach the global rank. No pair rows, no explode,
+no interpreted-HOF scoring in any hot path; scores use per-row pairwise
+summation so results are bit-identical at any parallelism. The r3
+pair-join implementations (``_*_pairjoin``) are retained as parity oracles
+only. Near-dup pair mining (``embedding_near_dup_pairs``) stays bucketed
+(written assignment table, hot-bucket cap) with an Arrow pair-cosine
+verify kernel.
 """
 
 from __future__ import annotations
