@@ -173,6 +173,22 @@ def _matrix_topk(
     def kernel(batches):
         buf_ids = [[] for _ in range(nq)]
         buf_cos = [[] for _ in range(nq)]
+        buf_n = [0] * nq
+        compact_at = max(8 * k, 512)
+
+        def compact(qi):
+            # exact top-k truncation is safe HERE (unlike the score-only
+            # batch prune) because the (cos desc, id asc) tie-break is
+            # applied: without it, a degenerate corpus (mass score ties,
+            # e.g. all-zero vectors) would grow the tie-kept buffer to the
+            # whole partition
+            c = np.concatenate(buf_cos[qi])
+            bi = np.concatenate(buf_ids[qi])
+            order = sorted(range(len(c)), key=lambda j: (-c[j], bi[j]))[:k]
+            buf_cos[qi] = [np.asarray([c[j] for j in order], dtype=np.float64)]
+            buf_ids[qi] = [np.asarray([bi[j] for j in order], dtype=bi.dtype)]
+            buf_n[qi] = len(order)
+
         for pdf in batches:
             n = len(pdf)
             if n == 0:
@@ -206,17 +222,19 @@ def _matrix_topk(
                     c, bids = c[keep], bids[keep]
                 buf_cos[qi].append(c)
                 buf_ids[qi].append(bids)
+                buf_n[qi] += len(c)
+                if buf_n[qi] > compact_at:
+                    compact(qi)
         rows_q, rows_i, rows_c = [], [], []
         for qi in range(nq):
             if not buf_cos[qi]:
                 continue
-            c = np.concatenate(buf_cos[qi])
-            bi = np.concatenate(buf_ids[qi])
-            # exact partition top-k under the global tie rule
-            order = sorted(range(len(c)), key=lambda j: (-c[j], bi[j]))[:k]
-            rows_q.extend(qids[qi] for _ in order)
-            rows_i.extend(bi[j] for j in order)
-            rows_c.extend(float(c[j]) for j in order)
+            # final exact partition top-k under the global tie rule
+            compact(qi)
+            c, bi = buf_cos[qi][0], buf_ids[qi][0]
+            rows_q.extend(qids[qi] for _ in range(len(c)))
+            rows_i.extend(bi.tolist())
+            rows_c.extend(float(x) for x in c)
         yield pd.DataFrame({query_id_col: rows_q, id_col: rows_i, "cosine": rows_c})
 
     return _rank_topk(src.mapInPandas(kernel, schema=out_schema), k, id_col, query_id_col)

@@ -782,3 +782,29 @@ def test_matrix_engine_randomized_parity_sweep(spark):
                     corpus, qs, k=k, nlist=4, nprobe=2, dim=dim, centroids=C
                 )
             ), (seed, "ivf", k)
+
+
+def test_matrix_engine_degenerate_tie_flood(spark):
+    """A corpus where EVERY score ties (all-zero vectors -> cosine 0.0 for
+    all rows) exercises the kernel's mid-stream compaction: the boundary-tie
+    batch prune keeps everything, so without tie-broken compaction the
+    buffer would hold the whole partition. Output must still equal the
+    pair-join oracle (pure id-asc order) at any partitioning."""
+    from pitfeat.ops import similarity as SIM
+
+    corpus = spark.range(5000).selectExpr(
+        "id as vec_id", "array_repeat(0.0d, 8) as embedding"
+    )
+    qs = spark.createDataFrame(
+        [(0, [1.0] * 8)], "query_id long, embedding array<double>"
+    )
+
+    def norm(df):
+        return sorted(
+            (r.query_id, r.vec_id, round(r.cosine, 9), r.rank) for r in df.collect()
+        )
+
+    got = norm(SIM.cosine_topk(corpus.repartition(3), qs, k=10, dim=8))
+    oracle = norm(SIM._cosine_topk_pairjoin(corpus, qs, k=10))
+    assert got == oracle
+    assert [vid for (_, vid, _, _) in got] == list(range(10))  # pure id-asc
