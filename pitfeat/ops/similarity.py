@@ -95,16 +95,29 @@ def _rank_topk(scored: DataFrame, k: int, id_col: str, query_id_col: str) -> Dat
     )
 
 
+MAX_ENGINE_QUERIES = 65_536
+
+
 def _query_matrix(queries: DataFrame, query_id_col: str, vec_col: str, dim: int):
     """Driver-side collect of the (small by contract) query set: ids, a
     (nq, dim) float64 matrix with zero rows for null/ragged vectors, and the
     validity mask (invalid queries keep the bucket-0 semantics of the
-    executor kernels)."""
+    executor kernels). Guarded at MAX_ENGINE_QUERIES: the engine's design
+    point is few-queries-vs-huge-corpus; a corpus-sized query set would
+    silently become a driver-memory hazard — batch the queries or use
+    embedding_near_dup_pairs for the all-pairs-shaped problem instead."""
     import numpy as np
 
     rows = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>")
-    ).collect()
+    ).limit(MAX_ENGINE_QUERIES + 1).collect()
+    if len(rows) > MAX_ENGINE_QUERIES:
+        raise ValueError(
+            f"matrix top-k engine: query set exceeds {MAX_ENGINE_QUERIES} rows "
+            "— the query matrix lives on the driver and in every kernel "
+            "closure; batch the queries, or use embedding_near_dup_pairs "
+            "for corpus-vs-corpus similarity"
+        )
     qids, vecs, ok = [], [], []
     for r in rows:
         v = r[1]
@@ -125,6 +138,7 @@ def _matrix_topk(
     query_id_col: str,
     dim: int,
     cand_masker=None,
+    qmat=None,
 ) -> DataFrame:
     """Matrix-scored top-k: one mapInPandas pass over the corpus, per-query
     per-partition top-k inside the kernel, global rank over the survivors.
@@ -135,6 +149,11 @@ def _matrix_topk(
     bucket math (_sigs_np / _probe_np). Null/ragged corpus vectors score 0.0
     and keep the pair-join paths' bucket-0 membership.
 
+    ``qmat``: the (qids, Q, ok) triple from _query_matrix. ANN callers that
+    build a masker MUST pass the SAME triple their masker closed over — a
+    second collect could return the queries in a different order, silently
+    misaligning the masker's bucket rows with the engine's score columns.
+
     Scale shape: the corpus crosses Arrow ONCE (no xTables explode, no pair
     rows); per-partition output is <= nq x k rows (+boundary ties), so the
     final rank shuffles a few thousand rows regardless of corpus size.
@@ -143,7 +162,9 @@ def _matrix_topk(
     import pandas as pd
     from pyspark.sql import types as T
 
-    qids, Q, _q_ok = _query_matrix(queries, query_id_col, vec_col, dim)
+    qids, Q, _q_ok = (
+        qmat if qmat is not None else _query_matrix(queries, query_id_col, vec_col, dim)
+    )
     nq = len(qids)
     # Scores and norms use per-row np.add.reduce (numpy's pairwise
     # summation, whose order depends only on dim) instead of GEMM: BLAS
@@ -439,7 +460,8 @@ def lsh_topk(
     import numpy as np
 
     H = _hyperplane_matrix(dim, nbits, tables, seed).T  # (dim, tables*nbits)
-    qids, Q, q_ok = _query_matrix(queries, query_id_col, vec_col, dim)
+    qmat = _query_matrix(queries, query_id_col, vec_col, dim)
+    qids, Q, q_ok = qmat
     qsigs = np.zeros((len(qids), tables), dtype=np.int64)
     if q_ok.any():
         qsigs[q_ok] = _sigs_np(Q[q_ok], H, nbits, tables)
@@ -452,7 +474,8 @@ def lsh_topk(
         return (sigs[:, None, :] == qsigs[None, :, :]).any(axis=2)
 
     return _matrix_topk(
-        corpus, queries, k, id_col, vec_col, query_id_col, dim, cand_masker=masker
+        corpus, queries, k, id_col, vec_col, query_id_col, dim,
+        cand_masker=masker, qmat=qmat,
     )
 
 
@@ -748,7 +771,8 @@ def ivf_topk(
         else _kmeans_centroids(corpus, vec_col, id_col, nlist, dim, seed)
     )
     CT = np.asarray(C, dtype=np.float64).T.copy()  # (dim, nlist)
-    qids, Q, q_ok = _query_matrix(queries, query_id_col, vec_col, dim)
+    qmat = _query_matrix(queries, query_id_col, vec_col, dim)
+    qids, Q, q_ok = qmat
     qprobes = np.zeros((len(qids), nprobe), dtype=np.int32)
     if q_ok.any():
         qprobes[q_ok] = _probe_np(Q[q_ok], CT, nprobe)
@@ -761,7 +785,8 @@ def ivf_topk(
         return (clist[:, None, None] == qprobes[None, :, :]).any(axis=2)
 
     return _matrix_topk(
-        corpus, queries, k, id_col, vec_col, query_id_col, dim, cand_masker=masker
+        corpus, queries, k, id_col, vec_col, query_id_col, dim,
+        cand_masker=masker, qmat=qmat,
     )
 
 
