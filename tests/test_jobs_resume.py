@@ -88,8 +88,10 @@ def test_kill_after_asof_commit_then_resume(job_inputs, tmp_path):
     out_res = str(tmp_path / "out_resumed")
     asof_dir = os.path.join(ckroot, run_id, "asof")
     feat_dir = os.path.join(ckroot, run_id, "features")
+    # sleep long enough that the kill (delivered within ~0.2s of the marker
+    # appearing) always lands before the features stage can start
     env = dict(
-        os.environ, PYTHONPATH=REPO, PITFEAT_TEST_SLEEP_AFTER_ASOF="300"
+        os.environ, PYTHONPATH=REPO, PITFEAT_TEST_SLEEP_AFTER_ASOF="600"
     )
     proc = subprocess.Popen(
         _cmd(base + ["--resume", run_id, "--out", out_res]),
@@ -99,7 +101,9 @@ def test_kill_after_asof_commit_then_resume(job_inputs, tmp_path):
         start_new_session=True,
     )
     try:
-        deadline = time.time() + 300
+        # generous: this host has documented multi-minute degradation
+        # episodes, and a timeout here would read as a resume bug
+        deadline = time.time() + 480
         while time.time() < deadline:
             if os.path.exists(os.path.join(asof_dir, MARKER)):
                 break
