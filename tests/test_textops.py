@@ -808,3 +808,30 @@ def test_matrix_engine_degenerate_tie_flood(spark):
     oracle = norm(SIM._cosine_topk_pairjoin(corpus, qs, k=10))
     assert got == oracle
     assert [vid for (_, vid, _, _) in got] == list(range(10))  # pure id-asc
+
+
+def test_matrix_engine_string_ids(spark):
+    """The engine's id plumbing (Arrow object columns, kernel tie-break,
+    global rank) must handle string ids — parity with the pair-join oracle
+    including a duplicate-vector tie resolved by string id order."""
+    import numpy as np
+
+    from pitfeat.ops import similarity as SIM
+
+    rs = np.random.RandomState(3)
+    rows = [(f"doc-{i:03d}", rs.normal(size=8).tolist()) for i in range(40)]
+    rows.append(("doc-900", rows[5][1]))  # duplicate vector, later id
+    corpus = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    qs = spark.createDataFrame(
+        [("q0", rows[5][1])], "query_id string, embedding array<double>"
+    )
+
+    def norm(df):
+        return sorted(
+            (r.query_id, r.vec_id, round(r.cosine, 9), r.rank) for r in df.collect()
+        )
+
+    got = norm(SIM.cosine_topk(corpus, qs, k=5, dim=8))
+    assert got == norm(SIM._cosine_topk_pairjoin(corpus, qs, k=5))
+    top2 = [vid for (_, vid, _, rank) in got if rank <= 2]
+    assert top2 == ["doc-005", "doc-900"]  # cosine tie -> id asc
