@@ -297,6 +297,7 @@ def minhash_lsh_pairs(
     max_bucket: int = 2000,
     sig_path: str | None = None,
     small_corpus_rows: int = 50_000,
+    small_corpus_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
@@ -307,9 +308,16 @@ def minhash_lsh_pairs(
     collision math). ``sig_path``: where to materialize the signature table —
     REQUIRED on a cluster (shared storage); defaults to a local temp dir with
     exit cleanup on local[*] masters only (see _scratch_dir).
-    ``small_corpus_rows``: below this corpus size the candidate-shingle
-    table is broadcast instead of written (VERDICT r3 #4) — the barrier only
-    pays for itself at scale."""
+    ``small_corpus_rows`` / ``small_corpus_bytes``: the fast path broadcasts
+    the WHOLE corpus's shingle arrays instead of writing a candidate-shingle
+    table (VERDICT r3 #4 — the barrier only pays for itself at scale), so it
+    must be gated on data VOLUME, not just row count: 50k rows of 5k-shingle
+    documents is multi-GB — past Spark's broadcast limit and a driver-OOM
+    hazard (ADVICE r4). The gate therefore requires BOTH the row count and
+    the total text bytes (exact, from a ``__tlen`` column carried in the
+    written signature table — no extra pass over the corpus) to be under
+    their thresholds; either alone falls back to the written-table path,
+    which handles any size."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(
         df, text_col, num_hashes, shingle_n, seed, as_array=True
@@ -338,7 +346,13 @@ def minhash_lsh_pairs(
     # shingle set costs far more than re-shingling the candidates.
     auto_scratch = sig_path is None
     sig_path = _scratch_dir(df, sig_path, "pitfeat_minhash_sig_")
-    sig.select(F.col(id_col), "__sig").write.mode("overwrite").parquet(sig_path)
+    # __tlen rides along so the small-corpus gate below can know the corpus's
+    # total TEXT volume exactly without re-scanning the corpus (ADVICE r4:
+    # a row-count-only gate would broadcast multi-GB shingle arrays for 50k
+    # long documents)
+    sig.select(
+        F.col(id_col), "__sig", F.length(F.col(text_col)).cast("long").alias("__tlen")
+    ).write.mode("overwrite").parquet(sig_path)
     sig = df.sparkSession.read.parquet(sig_path)
     banded = sig.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
@@ -361,12 +375,20 @@ def minhash_lsh_pairs(
     # Shingles are 64-bit HASHED (fused Arrow kernel) — the Catalyst string
     # pipeline runs interpreted and was this operator's recorded regression.
     texts = df.select(F.col(id_col), F.col(text_col))
-    small = sig.count() <= small_corpus_rows
+    # one tiny job over the SLIM written table (a long column + metadata,
+    # never the corpus): row count AND total text bytes together decide the
+    # fast path (ADVICE r4 — volume, not just rows, bounds the broadcast)
+    gate = sig.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("__tlen"), F.lit(0)).alias("tb"),
+    ).collect()[0]
+    small = gate["n"] <= small_corpus_rows and gate["tb"] <= small_corpus_bytes
     if small:
-        # below the threshold the candidate-restriction machinery (union +
+        # below the thresholds the candidate-restriction machinery (union +
         # distinct + semi-join = three shuffles) costs more than shingling
         # the whole corpus once — and the broadcast stays bounded by
-        # small_corpus_rows by construction
+        # small_corpus_rows x avg-doc-bytes <= small_corpus_bytes by
+        # construction
         sh_src = texts
     else:
         cand_ids = (
@@ -386,8 +408,8 @@ def minhash_lsh_pairs(
     # #4: ~21% of the headline suite was these two tiny-scale barriers), so
     # broadcast the shingle plan into both joins instead — the kernel then
     # runs once per side over the tiny candidate set, with zero extra jobs.
-    # The gate reads the ROW COUNT OF THE WRITTEN SIG PARQUET — a metadata-
-    # only job, no data scan — so no new full pass is introduced.
+    # The gate reads (count, sum(__tlen)) FROM THE WRITTEN SIG PARQUET — one
+    # slim-column job, never a pass over the corpus itself.
     if not small:
         sh_path = sig_path.rstrip("/") + "_cand_shingles"
         if auto_scratch:
@@ -409,14 +431,18 @@ def minhash_lsh_pairs(
         # ReusedExchange) makes the shingle kernel run ONCE — same
         # single-evaluation guarantee as the written table, zero barrier
         # jobs. The projection-then-broadcast form would NOT reuse (the
-        # differing aliases sit below the exchange).
+        # differing aliases sit below the exchange). Every column reference
+        # is alias-qualified — including the candidate side — because a
+        # caller's id_col may itself be named id_a/id_b, which would make
+        # bare references ambiguous across the join (ADVICE r4).
         sa, sb = sh_tbl.alias("__sha"), sh_tbl.alias("__shb")
         cand = (
-            cand.join(F.broadcast(sa), F.col("id_a") == F.col(f"__sha.{id_col}"))
-            .join(F.broadcast(sb), F.col("id_b") == F.col(f"__shb.{id_col}"))
+            cand.alias("__cand")
+            .join(F.broadcast(sa), F.col("__cand.id_a") == F.col(f"__sha.{id_col}"))
+            .join(F.broadcast(sb), F.col("__cand.id_b") == F.col(f"__shb.{id_col}"))
             .select(
-                "id_a",
-                "id_b",
+                F.col("__cand.id_a").alias("id_a"),
+                F.col("__cand.id_b").alias("id_b"),
                 F.col("__sha.sh").alias("sh_a"),
                 F.col("__shb.sh").alias("sh_b"),
             )
