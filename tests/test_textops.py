@@ -886,3 +886,72 @@ def test_matrix_engine_string_ids(spark):
     assert got == norm(SIM._cosine_topk_pairjoin(corpus, qs, k=5))
     top2 = [vid for (_, vid, _, rank) in got if rank <= 2]
     assert top2 == ["doc-005", "doc-900"]  # cosine tie -> id asc
+
+
+def test_matrix_engine_query_block_chunking_parity(spark, monkeypatch):
+    """VERDICT r4 #5 / ADVICE r4: the kernel scores (and masks) queries in
+    QUERY_BLOCK-wide chunks so executor memory is independent of nq. Output
+    must be BIT-identical at any block width (per-row pairwise summation —
+    blocking never changes accumulation order): force block=3 on an 11-query
+    set across all three ops and compare UNROUNDED results to the default."""
+    import numpy as np
+
+    from pitfeat.ops import similarity as SIM
+
+    rs = np.random.RandomState(23)
+    rows = [(i, rs.normal(size=8).tolist()) for i in range(150)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = spark.createDataFrame(
+        [(i, rows[i][1]) for i in range(11)], "query_id long, embedding array<double>"
+    )
+
+    def exact(df):
+        return sorted(
+            (r.query_id, r.vec_id, r.cosine, r.rank) for r in df.collect()
+        )
+
+    C = SIM._kmeans_centroids(corpus, "embedding", "vec_id", nlist=4, dim=8, seed=23)
+    runs = {}
+    for tag, block in (("default", None), ("block3", 3)):
+        if block is not None:
+            monkeypatch.setattr(SIM, "QUERY_BLOCK", block)
+        runs[tag] = (
+            exact(SIM.cosine_topk(corpus, qs, k=7, dim=8)),
+            exact(SIM.lsh_topk(corpus, qs, k=7, nbits=2, tables=3, dim=8)),
+            exact(SIM.ivf_topk(corpus, qs, k=7, nlist=4, nprobe=2, dim=8, centroids=C)),
+        )
+        monkeypatch.undo()
+    assert runs["default"] == runs["block3"]
+    assert len(runs["default"][0]) == 11 * 7
+
+
+def test_matrix_engine_ragged_vector_parity(spark):
+    """ADVICE r4: ragged (dim-mismatched) corpus vectors scored 0.0 in the
+    engine but NULL (ranked last) in the pair-join oracle. Both now score
+    0.0 — same as null vectors — so a ragged row can outrank negative
+    cosines identically on both paths."""
+    from pitfeat.ops import similarity as SIM
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [-1.0, 0.0, 0.0, 0.0]),   # cosine -1 vs the query
+        (2, [1.0, 1.0]),              # ragged: scores 0.0 > -1.0
+        (3, None),                    # null: scores 0.0
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "query_id long, embedding array<double>"
+    )
+
+    def norm(df):
+        return sorted(
+            (r.query_id, r.vec_id, round(r.cosine, 9), r.rank) for r in df.collect()
+        )
+
+    got = norm(SIM.cosine_topk(corpus, qs, k=4, dim=4))
+    oracle = norm(SIM._cosine_topk_pairjoin(corpus, qs, k=4))
+    assert got == oracle
+    by_rank = {rank: (vid, c) for (_, vid, c, rank) in got}
+    assert by_rank[1] == (0, 1.0)
+    assert by_rank[2] == (2, 0.0) and by_rank[3] == (3, 0.0)  # ragged/null 0.0, id asc
+    assert by_rank[4] == (1, -1.0)  # genuine negative cosine ranks below
