@@ -16,11 +16,11 @@ See SURVEY.md for the blueprint and BASELINE.md for the performance contract.
 from pitfeat.config import PitfeatConfig
 from pitfeat.ops.asof import asof_join
 from pitfeat.ops.dedup import exact_dedup, minhash_lsh_pairs, simhash_near_pairs
-from pitfeat.ops.similarity import cosine_topk, ivf_topk, lsh_topk
+from pitfeat.ops.similarity import cosine_topk, ivf_topk, knn_join, lsh_topk
 from pitfeat.pipeline import Pipeline
 from pitfeat.session import get_spark
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "PitfeatConfig",
@@ -33,5 +33,6 @@ __all__ = [
     "cosine_topk",
     "lsh_topk",
     "ivf_topk",
+    "knn_join",
     "__version__",
 ]

@@ -836,6 +836,232 @@ def ivf_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# Corpus-wide KNN join — every row's top-k neighbors (VERDICT r4 #3)
+# ---------------------------------------------------------------------------
+#
+# The shape the matrix engine's query guard correctly refuses: queries ==
+# corpus. The scale paths never collect the corpus and never materialize
+# all-pairs: rows are bucketed (LSH signature tables / IVF inverted lists),
+# each bucket's members are scored against each other INSIDE one Arrow
+# kernel (per-row pairwise summation, top-k selected in-kernel), and only
+# ~n x fanout x k candidate rows reach the global per-row rank. This is the
+# semantic-dedup / clustering-prep primitive that threshold pairs
+# (embedding_near_dup_pairs) don't cover.
+
+
+def _knn_rank(cands: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Global top-k per source row over bucket-kernel candidates: the same
+    (cosine desc, neighbor-id asc) tie rule as _rank_topk. Candidates are
+    deduped first — a pair co-bucketed in several tables/lists arrives once
+    per co-bucketing with BIT-IDENTICAL cosine (per-row pairwise summation
+    is blind to which bucket group scored it), so dropDuplicates is exact."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
+    return (
+        cands.dropDuplicates([id_col, "nbr_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "nbr_id", "cosine", "rank")
+    )
+
+
+def _knn_score_block(V, Vn, ids, QV, QVn, qids, k: int):
+    """Score probers (QV) against members (V), excluding self-by-id, keeping
+    per-prober top-k by (cosine desc, member-id asc). Members MUST arrive
+    sorted by id: the stable argsort then yields id-asc tie order for free.
+    Per-row np.add.reduce keeps cosines bit-identical across bucket shapes
+    (the engine's GEMM batch-shape trap). Returns (qid, nbr_id, cosine)
+    row lists."""
+    import numpy as np
+
+    m = len(ids)
+    out_q, out_i, out_c = [], [], []
+    for i in range(len(qids)):
+        s = np.add.reduce(V * QV[i], axis=1)
+        denom = Vn * QVn[i]
+        c = np.where(denom > 0, s / np.where(denom > 0, denom, 1.0), 0.0)
+        kk = min(k + 1, m)  # +1: self may occupy one slot
+        kth = np.partition(c, m - kk)[m - kk]
+        cand = np.nonzero(c >= kth)[0]  # boundary ties kept
+        cand = cand[np.argsort(-c[cand], kind="stable")]  # ties -> id asc
+        q = qids[i]
+        take = []
+        for j in cand:  # early break: a tie flood makes cand the whole bucket
+            if ids[j] != q:
+                take.append(j)
+                if len(take) == k:
+                    break
+        out_q.extend(q for _ in take)
+        out_i.extend(ids[j] for j in take)
+        out_c.extend(float(c[j]) for j in take)
+    return out_q, out_i, out_c
+
+
+def knn_join(
+    df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "lsh",
+    dim: int | None = None,
+    seed: int = 42,
+    nbits: int = 8,
+    tables: int = 8,
+    nlist: int = 16,
+    nprobe: int = 4,
+    centroids=None,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """For EVERY corpus row, its top-k nearest neighbors by cosine —
+    columns (id_col, nbr_id, cosine, rank), tie rule (cosine desc, nbr_id
+    asc), self always excluded. Rows with null/dim-mismatched vectors are
+    excluded from both sides (a vector that can't produce a cosine is
+    neither a query nor a neighbor here — unlike the fixed-query top-k ops,
+    where an invalid corpus row scores 0.0 against an explicit query set).
+
+    Methods:
+
+    - ``lsh`` (default, the scale path): multi-table hyperplane buckets
+      (_table_sigs_udf — the s2/s3 math); ONE groupBy(table, bucket) +
+      applyInPandas kernel scores each bucket's members against each other
+      and keeps per-member top-k in-kernel; global rank merges the <= n x
+      tables x k candidates. Never all-pairs; recall < 1.0 by design (raise
+      ``tables``). Buckets above ``max_bucket`` are dropped before the
+      kernel (the O(m^2 x dim) guard — members still pair via their other
+      tables); the kernel is O(m^2 x dim) per bucket, ~1 s at the 4096
+      default with dim 64.
+    - ``ivf``: members assigned to their nearest centroid's list, probers
+      exploded to their ``nprobe`` nearest lists, cogrouped per list —
+      candidates are ~nprobe/nlist of the corpus per row, adapting to data
+      clustering like ivf_topk. nprobe == nlist makes candidates exhaustive
+      (the provable-recall contract configuration).
+    - ``exact``: the matrix engine with queries := the corpus (k+1 then
+      self-drop + re-rank). O(n^2 x dim) compute and an O(n x dim) driver
+      collect — the small/mid-corpus baseline and the parity oracle for the
+      bucketed paths; hard-capped by MAX_ENGINE_QUERIES.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if method not in ("lsh", "ivf", "exact"):
+        raise ValueError(f"method must be lsh|ivf|exact, got {method!r}")
+    if dim is None:
+        dim = _infer_dim(df, vec_col)
+    base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    valid = base.where(F.col("__v").isNotNull() & (F.size("__v") == dim))
+
+    if method == "exact":
+        q = valid.select(F.col(id_col).alias("__knnq"), "__v")
+        got = _matrix_topk(
+            valid, q, k + 1, id_col, "__v", "__knnq", dim
+        )
+        cands = got.where(F.col(id_col) != F.col("__knnq")).select(
+            F.col("__knnq").alias("__q"),
+            F.col(id_col).alias("nbr_id"),
+            "cosine",
+        ).withColumnRenamed("__q", id_col)
+        return _knn_rank(cands, k, id_col)
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("nbr_id", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def _prep(pdf: pd.DataFrame, idc: str = id_col, vc: str = "__v"):
+        pdf = pdf.sort_values(idc, kind="mergesort", ignore_index=True)
+        V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vc]])
+        Vn = np.sqrt(np.add.reduce(V * V, axis=1))
+        return pdf[idc].to_numpy(), V, Vn
+
+    if method == "lsh":
+        assigned = _multi_table_buckets(valid, "__v", nbits, tables, dim, seed)
+        if max_bucket > 0:
+            from pitfeat.ops.dedup import _drop_hot_buckets
+
+            assigned = _drop_hot_buckets(assigned, ["tbl", "bucket"], max_bucket)
+
+        def bucket_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) < 2:
+                return pd.DataFrame({id_col: [], "nbr_id": [], "cosine": []})
+            ids, V, Vn = _prep(pdf)
+            oq, oi, oc = _knn_score_block(V, Vn, ids, V, Vn, ids, k)
+            return pd.DataFrame({id_col: oq, "nbr_id": oi, "cosine": oc})
+
+        cands = (
+            assigned.groupBy("tbl", "bucket")
+            .applyInPandas(bucket_kernel, schema=out_schema)
+        )
+        return _knn_rank(cands, k, id_col)
+
+    # ivf
+    if not 1 <= nprobe <= nlist:
+        raise ValueError(f"nprobe must be in [1, nlist={nlist}], got {nprobe}")
+    C = (
+        centroids
+        if centroids is not None
+        else _kmeans_centroids(df, vec_col, id_col, nlist, dim, seed)
+    )
+    C = np.asarray(C, dtype=np.float64)
+    members = valid.withColumn(
+        "__list", F.element_at(_ivf_lists_udf(C, dim, 1)(F.col("__v")), 1)
+    )
+    # prober columns renamed: cogroup drops right-side columns whose names
+    # duplicate left-side ones (same hazard the asof cogroup documents)
+    probers = valid.select(
+        F.col(id_col).alias("__qid"),
+        F.col("__v").alias("__qv"),
+        F.explode(_ivf_lists_udf(C, dim, nprobe)(F.col("__v"))).alias("__qlist"),
+    )
+    if max_bucket > 0:
+        from pitfeat.ops.dedup import _drop_hot_buckets
+
+        members = _drop_hot_buckets(members, ["__list"], max_bucket)
+
+    def list_kernel(mpdf: pd.DataFrame, ppdf: pd.DataFrame) -> pd.DataFrame:
+        if len(mpdf) == 0 or len(ppdf) == 0:
+            return pd.DataFrame({id_col: [], "nbr_id": [], "cosine": []})
+        ids, V, Vn = _prep(mpdf)
+        qids, QV, QVn = _prep(ppdf, "__qid", "__qv")
+        oq, oi, oc = _knn_score_block(V, Vn, ids, QV, QVn, qids, k)
+        return pd.DataFrame({id_col: oq, "nbr_id": oi, "cosine": oc})
+
+    cands = (
+        members.groupBy("__list")
+        .cogroup(probers.groupBy("__qlist"))
+        .applyInPandas(list_kernel, schema=out_schema)
+    )
+    return _knn_rank(cands, k, id_col)
+
+
+def _knn_join_pairjoin(
+    df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Brute-force pair-join reference for knn_join: self crossJoin of the
+    valid rows, HOF cosine, windowed rank. All-pairs by construction — kept
+    ONLY as the small-scale parity oracle (same discipline as the other
+    _*_pairjoin paths)."""
+    if dim is None:
+        dim = _infer_dim(df, vec_col)
+    base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    valid = base.where(F.col("__v").isNotNull() & (F.size("__v") == dim))
+    a = valid.select(F.col(id_col), F.col("__v").alias("__cv"))
+    b = valid.select(F.col(id_col).alias("nbr_id"), F.col("__v").alias("__qv"))
+    joined = a.crossJoin(b).where(F.col(id_col) != F.col("nbr_id"))
+    out = _score_and_rank(joined, k, "nbr_id", id_col)
+    return out.select(id_col, "nbr_id", "cosine", "rank")
+
+
 def _ivf_topk_pairjoin(
     corpus: DataFrame,
     queries: DataFrame,

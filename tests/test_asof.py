@@ -220,6 +220,85 @@ def test_asof_default_strategy_documented_and_pinned():
     assert inspect.signature(A.asof_join).parameters["strategy"].default == "window"
     assert "``window`` (DEFAULT" in A.__doc__
     for line in ("window     yes       no       no",
-                 "merge      yes       no       no",
+                 "merge      yes       yes      no",
                  "cogroup    yes       yes      yes"):
         assert line in A.__doc__
+
+
+# ---------- merge-strategy forward direction (VERDICT r4 #4) ----------
+
+
+@pytest.mark.parametrize("allow_exact", [True, False])
+def test_merge_forward_matches_oracle(
+    transcripts, snapshots, transcripts_pd, snapshots_pd, allow_exact
+):
+    """The descending-stream merge kernel against pandas merge_asof
+    (direction='forward') — the skew-robust forward path."""
+    out = _collect_sorted(
+        asof_join(
+            transcripts, snapshots, allow_exact=allow_exact,
+            strategy="merge", direction="forward",
+        )
+    )
+    oracle = asof_oracle(
+        transcripts_pd, snapshots_pd, allow_exact=allow_exact, direction="forward"
+    )
+    _assert_matches_oracle(out, oracle)
+
+
+def test_merge_forward_tolerance(transcripts, snapshots, transcripts_pd, snapshots_pd):
+    """Forward staleness flips sign: a match further than tol in the FUTURE
+    is nulled."""
+    out = _collect_sorted(
+        asof_join(
+            transcripts, snapshots, tolerance_s=120.0,
+            strategy="merge", direction="forward",
+        )
+    )
+    oracle = asof_oracle(
+        transcripts_pd, snapshots_pd, tolerance_s=120.0, direction="forward"
+    )
+    _assert_matches_oracle(out, oracle)
+
+
+def test_merge_forward_equals_cogroup_randomized(spark):
+    """merge/forward == cogroup/forward on randomized frames with planted
+    equal-ts ties, duplicate right rows (greatest-tuple rule), null left
+    timestamps (must stay unmatched — the desc_nulls_first edge) and keys
+    with no right side at all."""
+    rs = np.random.RandomState(19)
+    n_keys, rows = 12, 400
+    lrows = []
+    for i in range(rows):
+        key = f"k{rs.randint(n_keys)}"
+        ts = None if rs.rand() < 0.05 else (
+            pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=int(rs.randint(0, 3600)))
+        ).to_pydatetime()
+        lrows.append((key, i, ts))
+    rrows = []
+    for i in range(150):
+        key = f"k{rs.randint(n_keys - 2)}"  # last two keys: no right side
+        ts = (
+            pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=int(rs.randint(0, 3600)))
+        ).to_pydatetime()
+        rrows.append((key, ts, float(rs.randint(0, 5)), None if rs.rand() < 0.2 else float(i)))
+    # planted exact duplicates at equal (key, ts) differing only in value
+    rrows.append(("k0", pd.Timestamp("2026-01-01 00:10:00").to_pydatetime(), 1.0, 7.0))
+    rrows.append(("k0", pd.Timestamp("2026-01-01 00:10:00").to_pydatetime(), 2.0, None))
+    left = spark.createDataFrame(lrows, "conv_id string, turn_idx long, ts timestamp")
+    right = spark.createDataFrame(
+        rrows, "conv_id string, snap_ts timestamp, f_a double, f_b double"
+    )
+    for allow_exact in (True, False):
+        m = _collect_sorted(
+            asof_join(left, right, allow_exact=allow_exact,
+                      strategy="merge", direction="forward")
+        )
+        c = _collect_sorted(
+            asof_join(left, right, allow_exact=allow_exact,
+                      strategy="cogroup", direction="forward")
+        )
+        pd.testing.assert_frame_equal(m, c)
+        # null-ts left rows present and unmatched
+        nulls = m[m["ts"].isna()]
+        assert len(nulls) > 0 and nulls["snap_ts"].isna().all()

@@ -116,3 +116,25 @@ def test_ann_plans_have_no_rowwise_python(spark):
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" in plan
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_knn_join_plans_never_materialize_pairs(spark):
+    """knn_join's bucketed paths (VERDICT r4 #3) must score inside grouped
+    Arrow kernels — FlatMapGroupsInPandas (lsh) / FlatMapCoGroupsInPandas
+    (ivf) — with NO cartesian/nested-loop join and no row-wise Python
+    anywhere: pair rows exist only as the <= n x fanout x k kernel OUTPUT,
+    never as a join product."""
+    import numpy as np
+
+    from pitfeat.ops.similarity import knn_join
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    C = np.eye(8, 64)
+    lsh_plan = _plan(knn_join(e, k=5, method="lsh", nbits=2, tables=4))
+    ivf_plan = _plan(knn_join(e, k=5, method="ivf", nlist=8, nprobe=2, centroids=C))
+    for plan in (lsh_plan, ivf_plan):
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" in lsh_plan
+    assert "FlatMapCoGroupsInPandas" in ivf_plan

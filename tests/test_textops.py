@@ -888,6 +888,98 @@ def test_matrix_engine_string_ids(spark):
     assert top2 == ["doc-005", "doc-900"]  # cosine tie -> id asc
 
 
+def _knn_norm(df):
+    return sorted((r[0], r[1], round(r[2], 9), r[3]) for r in df.collect())
+
+
+def _knn_sets(rows):
+    out = {}
+    for (q, n, _c, _r) in rows:
+        out.setdefault(q, set()).add(n)
+    return out
+
+
+def test_knn_join_exact_parity_and_semantics(spark):
+    """knn_join(method='exact') == brute-force pair-join oracle; a planted
+    duplicate's top-1 neighbor is its twin at cosine 1.0; null and ragged
+    rows appear on NEITHER side of the output."""
+    import numpy as np
+
+    from pitfeat.ops import similarity as SIM
+
+    rs = np.random.RandomState(31)
+    rows = [(i, rs.normal(size=8).tolist()) for i in range(60)]
+    rows.append((100, rows[7][1]))  # planted duplicate of vec 7
+    rows.append((101, None))        # null vector
+    rows.append((102, [1.0, 2.0]))  # ragged vector
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = _knn_norm(SIM.knn_join(corpus, k=5, method="exact", dim=8))
+    oracle = _knn_norm(SIM._knn_join_pairjoin(corpus, k=5, dim=8))
+    assert got == oracle
+    ids_out = {q for (q, _, _, _) in got} | {n for (_, n, _, _) in got}
+    assert 101 not in ids_out and 102 not in ids_out
+    top1 = {q: n for (q, n, _c, r) in got if r == 1}
+    assert top1[7] == 100 and top1[100] == 7
+    cos = {(q, n): c for (q, n, c, _r) in got}
+    assert cos[(7, 100)] == 1.0
+
+
+def test_knn_join_ivf_exhaustive_equals_exact(spark, embs):
+    """nprobe == nlist probes every inverted list, so the IVF-bucketed path
+    (cogroup kernel + candidate dedup + global rank) must reproduce the
+    exact result EXACTLY — the provable-recall configuration the contract
+    query uses."""
+    from pitfeat.ops import similarity as SIM
+
+    exact = _knn_norm(SIM.knn_join(embs, k=5, method="exact"))
+    ivf = _knn_norm(SIM.knn_join(embs, k=5, method="ivf", nlist=8, nprobe=8))
+    assert ivf == exact and len(exact) == 500 * 5
+
+
+def test_knn_join_bucketed_recall_clustered(spark):
+    """On clusterable data the partial-probe/bucketed paths must recover
+    >= 0.9 of the true top-10 sets (the s4_ivf_clustered discipline applied
+    to corpus-wide KNN), and every planted duplicate pair must find its twin
+    as the top-1 neighbor — identical vectors co-bucket in every table and
+    every list, so the ANN miss probability for them is exactly zero."""
+    from pitfeat.ops.similarity import knn_join
+    from pitfeat.synth import gen_clustered_embeddings
+
+    e = gen_clustered_embeddings(spark, 2000, dim=64, n_centers=16, seed=5)
+    twins = e.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = e.unionByName(twins).cache()
+    corpus.count()
+
+    exact = _knn_norm(knn_join(corpus, k=10, method="exact"))
+    ex_sets = _knn_sets(exact)
+
+    # nbits sets the bucket width (~n / 2^nbits rows): k=10 neighbors live
+    # DEEP inside each cluster, so coarse buckets (nbits=2 -> recall 0.99
+    # here) beat fine ones (nbits=8 -> 0.40) at the cost of bigger kernel
+    # groups — the recall/cost knob the docstring documents. IVF adapts its
+    # partitions to the data instead, which is why it holds 0.9+ at
+    # nprobe/nlist = 1/4.
+    for tag, df in (
+        ("lsh", knn_join(corpus, k=10, method="lsh", nbits=2, tables=8)),
+        ("ivf", knn_join(corpus, k=10, method="ivf", nlist=16, nprobe=4)),
+    ):
+        got = _knn_norm(df)
+        got_sets = _knn_sets(got)
+        recall = sum(
+            len(ex_sets[q] & got_sets.get(q, set())) / len(ex_sets[q])
+            for q in ex_sets
+        ) / len(ex_sets)
+        assert recall >= 0.9, (tag, recall)
+        top1 = {q: n for (q, n, _c, r) in got if r == 1}
+        for i in range(20):
+            assert top1[i] == i + 1_000_000, (tag, i)
+            assert top1[i + 1_000_000] == i, (tag, i)
+    corpus.unpersist()
+
+
 def test_matrix_engine_query_block_chunking_parity(spark, monkeypatch):
     """VERDICT r4 #5 / ADVICE r4: the kernel scores (and masks) queries in
     QUERY_BLOCK-wide chunks so executor memory is independent of nq. Output
