@@ -407,6 +407,39 @@ def test_dedup_corpus_job(spark, tmp_path):
     assert res2["pairs_only"] and res2["rows_out"] >= docs.count()  # every planted dup pairs
 
 
+def test_knn_corpus_job_semantic_dedup_and_resume(spark, tmp_path):
+    """jobs/knn_corpus.py end-to-end in-process: --semantic-dedup drops
+    exactly the planted embedding twins (min-id keeper — the higher-id copy
+    of each pair), and --resume re-reads the committed neighbor table
+    (resumed=True) with identical output."""
+    import jobs.knn_corpus as J
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    twins = embs.where(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    src = str(tmp_path / "embs_in")
+    embs.unionByName(twins).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "survivors")
+    ck = str(tmp_path / "ck")
+    # ivf nprobe == nlist: exhaustive candidates => exact neighbors => the
+    # dedup decision is deterministic, no recall luck in the assertion
+    argv = ["--input", src, "--out", out, "--method", "ivf",
+            "--nlist", "8", "--nprobe", "8", "--k", "3",
+            "--semantic-dedup", "--threshold", "0.9999",
+            "--resume", "r1", "--ckpt-root", ck]
+    res = J.main(argv)
+    assert res["rows_in"] == embs.count() + 25
+    assert res["rows_out"] == embs.count()  # every twin (higher id) dropped
+    back = spark.read.parquet(out)
+    assert back.where(F.col("vec_id") >= 1_000_000).count() == 0
+    assert res["resumed"] is False
+
+    res2 = J.main(argv)
+    assert res2["resumed"] is True and res2["rows_out"] == res["rows_out"]
+
+
 def test_ivf_centroids_partition_layout_invariant(spark):
     """Centroids must be a pure function of the corpus CONTENT: the r3
     modulus-thinned sample had layout-independent membership but collected in
