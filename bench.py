@@ -97,13 +97,14 @@ def main():
     def s6_knn_corpus(spark_, _sf):
         # corpus-wide KNN (r5): every one of the clustered fixture's vectors
         # gets its top-10 neighbors via the IVF-bucketed cogroup path at the
-        # real partial-probe shape (nprobe=4 << nlist=16) — the semantic-
-        # dedup primitive at its deployment configuration, n x nprobe x k
-        # candidate rows, never all-pairs
+        # realistic partial-probe shape (nprobe/nlist = 8/64 — the
+        # rehearsal-evidenced regime, bench/run_ivf_rehearsal.py): per-row
+        # candidate work is 1/8 of the corpus, n x nprobe x k candidate
+        # rows, never all-pairs, and the 64 list-groups keep every core busy
         from pitfeat.ops.similarity import knn_join
 
         e = spark_.read.parquet(clustered_dir)
-        return knn_join(e, k=10, method="ivf", nlist=16, nprobe=4)
+        return knn_join(e, k=10, method="ivf", nlist=64, nprobe=8)
 
     qs["s6_knn_corpus"] = s6_knn_corpus
 

@@ -852,50 +852,93 @@ def ivf_topk(
 
 def _knn_rank(cands: DataFrame, k: int, id_col: str) -> DataFrame:
     """Global top-k per source row over bucket-kernel candidates: the same
-    (cosine desc, neighbor-id asc) tie rule as _rank_topk. Candidates are
-    deduped first — a pair co-bucketed in several tables/lists arrives once
-    per co-bucketing with BIT-IDENTICAL cosine (per-row pairwise summation
-    is blind to which bucket group scored it), so dropDuplicates is exact."""
+    (cosine desc, neighbor-id asc) tie rule as _rank_topk. A pair
+    co-bucketed in several LSH tables arrives once per co-bucketing, and the
+    copies' GEMM cosines can differ in the last ulp (different member sets
+    => different BLAS shapes), so the dedup is an aggregate — max(cosine)
+    per (id, nbr) — which is deterministic, where dropDuplicates would keep
+    a shuffle-order-lucky copy. (IVF pairs arrive exactly once: a member
+    lives in one inverted list.)"""
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
     return (
-        cands.dropDuplicates([id_col, "nbr_id"])
+        cands.groupBy(id_col, "nbr_id")
+        .agg(F.max("cosine").alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(id_col, "nbr_id", "cosine", "rank")
     )
 
 
-def _knn_score_block(V, Vn, ids, QV, QVn, qids, k: int):
+def _knn_score_block(V, Vn, ids, QV, QVn, qids, k: int, prober_block: int = 1024):
     """Score probers (QV) against members (V), excluding self-by-id, keeping
     per-prober top-k by (cosine desc, member-id asc). Members MUST arrive
     sorted by id: the stable argsort then yields id-asc tie order for free.
-    Per-row np.add.reduce keeps cosines bit-identical across bucket shapes
-    (the engine's GEMM batch-shape trap). Returns (qid, nbr_id, cosine)
-    row lists."""
+
+    Scoring is a chunked GEMM (``QV[block] @ V.T``). The engine's GEMM
+    batch-shape trap does NOT apply here: a group's membership AND row
+    order (id-sorted by _prep) are pure functions of the data — a bucket's
+    matrix has the same shape and layout at any partitioning, so the BLAS
+    result is deterministic run-to-run and layout-to-layout. The tradeoff
+    vs the engine's per-row reduce is last-ulp cosine differences BETWEEN
+    the bucketed and exact paths (~1e-15 relative; parity tests compare at
+    1e-9, and rank flips would need two distinct vectors within an ulp —
+    exact duplicates still tie exactly, both sides of the tie seeing the
+    same arithmetic). Two measured pitfalls, don't reintroduce them: the
+    double-np.where cosine normalization allocated ~5 block-sized temps and
+    cost 4x the GEMM (hence the precomputed 1/norm factors + in-place
+    multiplies), and the axis-wise 2D np.partition for the per-prober kth
+    ran ~45x SLOWER than this per-(m,)-slice loop. Returns (qid, nbr_id,
+    cosine) row lists."""
     import numpy as np
 
     m = len(ids)
+    nq = len(qids)
     out_q, out_i, out_c = [], [], []
-    for i in range(len(qids)):
-        s = np.add.reduce(V * QV[i], axis=1)
-        denom = Vn * QVn[i]
-        c = np.where(denom > 0, s / np.where(denom > 0, denom, 1.0), 0.0)
-        kk = min(k + 1, m)  # +1: self may occupy one slot
-        kth = np.partition(c, m - kk)[m - kk]
-        cand = np.nonzero(c >= kth)[0]  # boundary ties kept
-        cand = cand[np.argsort(-c[cand], kind="stable")]  # ties -> id asc
-        q = qids[i]
-        take = []
-        for j in cand:  # early break: a tie flood makes cand the whole bucket
-            if ids[j] != q:
-                take.append(j)
-                if len(take) == k:
-                    break
-        out_q.extend(q for _ in take)
-        out_i.extend(ids[j] for j in take)
-        out_c.extend(float(c[j]) for j in take)
+    kk = min(k + 1, m)  # +1: self may occupy one slot
+    VT = np.ascontiguousarray(V.T)
+    # zero-norm rows detected ONCE: the common all-nonzero case then runs a
+    # single in-place divide per block — the double-np.where formulation
+    # allocated ~5 block-sized temps and cost 4x the GEMM itself (measured)
+    zn_v = Vn == 0
+    zn_q = QVn == 0
+    any_zero = bool(zn_v.any() or zn_q.any())
+    inv_vn = np.empty_like(Vn)
+    np.divide(1.0, Vn, out=inv_vn, where=~zn_v)
+    inv_vn[zn_v] = 0.0
+    inv_qn = np.empty_like(QVn)
+    np.divide(1.0, QVn, out=inv_qn, where=~zn_q)
+    inv_qn[zn_q] = 0.0
+    for b0 in range(0, nq, prober_block):
+        b1 = min(b0 + prober_block, nq)
+        C = QV[b0:b1] @ VT
+        # cosine = S * (1/|v|) * (1/|q|); zero-norm rows/cols forced to 0.0
+        # (their inv factor is 0, so the product is exactly 0.0 — same value
+        # the where-formulation produced)
+        C *= inv_vn[None, :]
+        C *= inv_qn[b0:b1, None]
+        if any_zero:
+            # 0 * inf/nan could have leaked NaN if S had non-finites; the
+            # inv factors are finite 0.0 so plain multiply is exact — only
+            # assert the invariant cheaply in the rare zero-norm presence
+            C[np.asarray(zn_q[b0:b1]), :] = 0.0
+            C[:, zn_v] = 0.0
+        for i in range(b1 - b0):
+            c = C[i]
+            kth = np.partition(c, m - kk)[m - kk]
+            cand = np.nonzero(c >= kth)[0]  # boundary ties kept
+            cand = cand[np.argsort(-c[cand], kind="stable")]  # ties -> id asc
+            q = qids[b0 + i]
+            take = []
+            for j in cand:  # early break: a tie flood makes cand the bucket
+                if ids[j] != q:
+                    take.append(j)
+                    if len(take) == k:
+                        break
+            out_q.extend(q for _ in take)
+            out_i.extend(ids[j] for j in take)
+            out_c.extend(float(c[j]) for j in take)
     return out_q, out_i, out_c
 
 

@@ -1015,6 +1015,14 @@ def test_knn_join_ivf_exhaustive_equals_exact(spark, embs):
     exact = _knn_norm(SIM.knn_join(embs, k=5, method="exact"))
     ivf = _knn_norm(SIM.knn_join(embs, k=5, method="ivf", nlist=8, nprobe=8))
     assert ivf == exact and len(exact) == 500 * 5
+    # partitioning invariance of the bucketed path: the kernel's GEMM sees
+    # the same id-sorted group matrix at any layout, so results are
+    # identical (the engine's batch-shape trap does not apply to cogroup
+    # groups — this pin keeps that argument honest)
+    ivf7 = _knn_norm(
+        SIM.knn_join(embs.repartition(7), k=5, method="ivf", nlist=8, nprobe=8)
+    )
+    assert ivf7 == ivf
 
 
 def test_knn_join_bucketed_recall_clustered(spark):
