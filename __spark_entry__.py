@@ -921,6 +921,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["j1_asof_tolerance"] = _asof_query("merge", tolerance_s=30 * 86400.0)
     q["j1_asof_cogroup"] = _asof_query("cogroup")
     q["j1_asof_nearest"] = _asof_query("cogroup", direction="nearest")
+    # r5: the window strategy's new forward/nearest directions (pure-JVM
+    # fills; see asof.py strategy x direction matrix) — same oracles as the
+    # cogroup rows for the same semantics
+    q["j1_window_forward"] = _asof_query("window", direction="forward")
+    q["j1_window_nearest"] = _asof_query("window", direction="nearest")
     q["s6_knn_ivf"] = s6i
     q["j5_semi_join"] = j5s
     q["o4_intersect"] = o4i
@@ -1014,6 +1019,11 @@ def oracle_sql() -> dict[str, str]:
     o["j1_asof_forward"] = _asof_oracle("<=")
     # merge-strategy forward (r5): same semantics, different physical path
     o["j1_merge_forward"] = _asof_oracle("<=")
+    # window-strategy forward/nearest (r5): same semantics as the cogroup
+    # rows, different physical paths (descending window fill / one-pass
+    # prev+next fill)
+    o["j1_window_forward"] = _asof_oracle("<=")
+    o["j1_window_nearest"] = o["j1_asof_nearest"]
     # tolerance: backward match, then the whole snapshot row goes NULL when
     # staler than 30 days (ts - snap_ts > tol) — the engine's staleness rule
     o["j1_asof_tolerance"] = f"""

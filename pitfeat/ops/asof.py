@@ -39,14 +39,17 @@ Strategy x direction support matrix (ValueError outside it):
     =========  ========  =======  =======
     strategy   backward  forward  nearest
     =========  ========  =======  =======
-    window     yes       no       no
+    window     yes       yes      yes
     merge      yes       yes      no
     cogroup    yes       yes      yes
     =========  ========  =======  =======
 
-    (merge/forward: the descending-ts stream variant of the same
-    bounded-memory kernel — the skew-robust forward path; nearest needs
-    both scans and stays cogroup-only. See _asof_merge.)
+    (merge/forward and window/forward: descending-ts variants of the same
+    fills; window/nearest: one sorted pass computing both the preceding and
+    following snapshot via doubled-tagged right rows, closer one chosen
+    row-locally — see _asof_window_nearest. merge/nearest stays
+    unimplemented: the streaming kernel would need a lookahead scan; use
+    window (skew-safe, spill-backed sort) or cogroup.)
 
 Tie rule: with ``allow_exact=True`` an equal-timestamp snapshot matches
 (searchsorted ``side='right'``; merge sorts right-before-left at equal ts).
@@ -165,17 +168,21 @@ def asof_join(
     # null pandas groupby key both find an empty right side after this).
     right = right.where(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
     if strategy == "window":
-        if direction != "backward":
-            raise ValueError("window strategy implements backward direction only")
+        impl = _asof_window_nearest if direction == "nearest" else _asof_window
         if salt_buckets > 0 and hot_threshold:
             lh, lc, rh, rc = _split_hot_keys(left, right, on, hot_threshold)
-            cold = _asof_window(lc, rc, on, left_ts, right_ts, allow_exact, tolerance_s, 0)
-            hot = _asof_window(
-                lh, rh, on, left_ts, right_ts, allow_exact, tolerance_s, salt_buckets
+            cold = impl(
+                lc, rc, on, left_ts, right_ts, allow_exact, tolerance_s, 0,
+                direction=direction,
+            )
+            hot = impl(
+                lh, rh, on, left_ts, right_ts, allow_exact, tolerance_s, salt_buckets,
+                direction=direction,
             )
             return cold.unionByName(hot)
-        return _asof_window(
-            left, right, on, left_ts, right_ts, allow_exact, tolerance_s, salt_buckets
+        return impl(
+            left, right, on, left_ts, right_ts, allow_exact, tolerance_s, salt_buckets,
+            direction=direction,
         )
     if strategy == "merge":
         if direction not in ("backward", "forward"):
@@ -259,7 +266,14 @@ def _asof_window(
     allow_exact: bool,
     tolerance_s: float | None,
     salt_buckets: int = 0,
+    direction: str = "backward",
 ) -> DataFrame:
+    """``forward`` (r5) is the same pure-Tungsten fill over a DESCENDING ts
+    window (desc_nulls_first — NULL-ts left rows must sort before any right
+    row so the fill finds nothing for them, exactly the merge strategy's
+    rule): "last right struct seen down the stream" then means "earliest
+    right row at/after this left timestamp". Tags and the greatest-tuple
+    duplicate rule carry over unchanged; only the staleness sign flips."""
     from pyspark.sql import Window
 
     out_schema = _result_schema(left, right, on, right_ts)
@@ -313,9 +327,12 @@ def _asof_window(
         if ord_cols == right_val_cols
         else F.struct(*[F.col("__rv")[c] for c in ord_cols])
     )
+    ts_sort = (
+        F.col("__t").asc() if direction == "backward" else F.col("__t").desc_nulls_first()
+    )
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__t").asc(), F.col("__tag").asc(), rv_sort.asc())
+        .orderBy(ts_sort, F.col("__tag").asc(), rv_sort.asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(
@@ -328,12 +345,146 @@ def _asof_window(
     out = filled.where(F.col("__tag") == left_tag)
     if tolerance_s is not None:
         tol_us = int(tolerance_s * 1_000_000)
-        stale = (
-            F.unix_micros(F.col("__t").cast("timestamp"))
-            - F.unix_micros(F.col("__rv")[right_ts].cast("timestamp"))
-        ) > tol_us
+        lt_us = F.unix_micros(F.col("__t").cast("timestamp"))
+        rt_us = F.unix_micros(F.col("__rv")[right_ts].cast("timestamp"))
+        delta = (lt_us - rt_us) if direction == "backward" else (rt_us - lt_us)
+        stale = delta > tol_us
         out = out.withColumn("__rv", F.when(stale, F.lit(None).cast(rv_type)).otherwise(F.col("__rv")))
     out = out.select(
+        *keys,
+        F.col("__t").alias(left_ts),
+        *pass_left,
+        *[F.col("__rv")[c].alias(c) for c in right_val_cols],
+    )
+    return out.select(*[f.name for f in out_schema.fields])
+
+
+def _asof_window_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    allow_exact: bool,
+    tolerance_s: float | None,
+    salt_buckets: int = 0,
+    direction: str = "nearest",
+) -> DataFrame:
+    """Pure-JVM nearest (r5): ONE sorted window pass computes BOTH the
+    latest-preceding and earliest-following snapshot, then a row-local
+    expression picks the closer (equidistant -> preceding, pandas' rule).
+
+    Mechanics: right rows are first deduped per (key, ts) to the greatest
+    value tuple (the same pre-dedup the cogroup nearest kernel performs —
+    it collapses the side-dependent tie rules), then each surviving right
+    row enters the union TWICE with separate prev/next struct columns and
+    tags ordered so the exactness rule holds on both sides simultaneously:
+    allow_exact puts the prev-copy BEFORE left rows at equal ts (visible to
+    ``last`` over (unboundedPreceding, 0)) and the next-copy after
+    (invisible to ``first`` over (0, unboundedFollowing) is wrong-way-
+    round: it IS visible, harmlessly — prev already matches at distance 0
+    and equidistant prefers preceding); strict reverses the tag order so
+    equal-ts rights are visible to NEITHER frame. Memory/skew behavior is
+    the window strategy's: one exchange, spill-backed sort, salting
+    composes. Tolerance filters each side independently before the choice
+    — equivalent to pandas' nearest+tolerance because the nearest valid
+    candidate always has the smaller distance."""
+    from pyspark.sql import Window
+
+    out_schema = _result_schema(left, right, on, right_ts)
+    typ = {f.name: f.dataType for f in out_schema.fields}
+    left_cols = [f.name for f in left.schema.fields]
+    right_val_cols = [f.name for f in right.schema.fields if f.name != on]
+    pass_left = [c for c in left_cols if c not in (on, left_ts)]
+    rv_type = T.StructType([T.StructField(c, typ[c], True) for c in right_val_cols])
+
+    # greatest-tuple dedup per (key, right_ts); arbitrary-but-consistent if
+    # no value column is orderable (documented _orderable limitation)
+    ord_cols = [c for c in right_val_cols if _orderable(typ[c])]
+    dedup_sort = [F.col(c).desc_nulls_last() for c in ord_cols] or [F.lit(0)]
+    dw = Window.partitionBy(on, right_ts).orderBy(*dedup_sort)
+    right = (
+        right.withColumn("__rn", F.row_number().over(dw))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    prev_tag, left_tag, next_tag = (0, 1, 2) if allow_exact else (2, 1, 0)
+    rv_struct = F.struct(*[F.col(c) for c in right_val_cols])
+    lt = left.select(
+        F.col(on),
+        F.col(left_ts).alias("__t"),
+        F.lit(left_tag).alias("__tag"),
+        *[F.col(c) for c in pass_left],
+        F.lit(None).cast(rv_type).alias("__pv"),
+        F.lit(None).cast(rv_type).alias("__nv"),
+    )
+    rp = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__t"),
+        F.lit(prev_tag).alias("__tag"),
+        *[F.lit(None).cast(typ[c]).alias(c) for c in pass_left],
+        rv_struct.alias("__pv"),
+        F.lit(None).cast(rv_type).alias("__nv"),
+    )
+    rn = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__t"),
+        F.lit(next_tag).alias("__tag"),
+        *[F.lit(None).cast(typ[c]).alias(c) for c in pass_left],
+        F.lit(None).cast(rv_type).alias("__pv"),
+        rv_struct.alias("__nv"),
+    )
+    keys = [on]
+    if salt_buckets > 0:
+        b = salt_buckets
+        lt = lt.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col(on), F.col("__t")), F.lit(b)).cast("int")
+        )
+        salted = []
+        for r in (rp, rn):
+            salted.append(
+                r.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(b)])))
+                .withColumn("__salt", F.col("__salt").cast("int"))
+            )
+        rp, rn = salted
+        keys = [on, "__salt"]
+    cols_order = keys + ["__t", "__tag"] + pass_left + ["__pv", "__nv"]
+    unioned = (
+        lt.select(*cols_order)
+        .unionByName(rp.select(*cols_order))
+        .unionByName(rn.select(*cols_order))
+    )
+    order = [F.col("__t").asc(), F.col("__tag").asc()]
+    wp = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    filled = unioned.select(
+        *keys,
+        "__t",
+        "__tag",
+        *pass_left,
+        F.last("__pv", ignorenulls=True).over(wp).alias("__pv"),
+        F.first("__nv", ignorenulls=True).over(wn).alias("__nv"),
+    ).where(F.col("__tag") == left_tag)
+
+    lt_us = F.unix_micros(F.col("__t").cast("timestamp"))
+    dp = lt_us - F.unix_micros(F.col("__pv")[right_ts].cast("timestamp"))
+    dn = F.unix_micros(F.col("__nv")[right_ts].cast("timestamp")) - lt_us
+    pv, nv = F.col("__pv"), F.col("__nv")
+    if tolerance_s is not None:
+        tol_us = int(tolerance_s * 1_000_000)
+        pv = F.when(dp <= tol_us, pv)
+        nv = F.when(dn <= tol_us, nv)
+    # NULL-ts left rows: the next-frame would otherwise hand them the first
+    # following snapshot in sort order — they must stay unmatched
+    chosen = F.when(F.col("__t").isNull(), F.lit(None).cast(rv_type)).otherwise(
+        F.when(pv.isNotNull() & (nv.isNull() | (dp <= dn)), pv).otherwise(nv)
+    )
+    out = filled.withColumn("__rv", chosen).select(
         *keys,
         F.col("__t").alias(left_ts),
         *pass_left,

@@ -219,25 +219,27 @@ def test_asof_default_strategy_documented_and_pinned():
 
     assert inspect.signature(A.asof_join).parameters["strategy"].default == "window"
     assert "``window`` (DEFAULT" in A.__doc__
-    for line in ("window     yes       no       no",
+    for line in ("window     yes       yes      yes",
                  "merge      yes       yes      no",
                  "cogroup    yes       yes      yes"):
         assert line in A.__doc__
 
 
-# ---------- merge-strategy forward direction (VERDICT r4 #4) ----------
+# ---- forward direction for merge (VERDICT r4 #4) + window (r5) ----
 
 
+@pytest.mark.parametrize("strategy", ["merge", "window"])
 @pytest.mark.parametrize("allow_exact", [True, False])
-def test_merge_forward_matches_oracle(
-    transcripts, snapshots, transcripts_pd, snapshots_pd, allow_exact
+def test_forward_strategies_match_oracle(
+    transcripts, snapshots, transcripts_pd, snapshots_pd, strategy, allow_exact
 ):
-    """The descending-stream merge kernel against pandas merge_asof
-    (direction='forward') — the skew-robust forward path."""
+    """The descending-stream merge kernel AND the descending-window fill
+    against pandas merge_asof (direction='forward') — skew-robust forward
+    paths (merge: bounded-memory kernel; window: spill-backed sort)."""
     out = _collect_sorted(
         asof_join(
             transcripts, snapshots, allow_exact=allow_exact,
-            strategy="merge", direction="forward",
+            strategy=strategy, direction="forward",
         )
     )
     oracle = asof_oracle(
@@ -246,13 +248,16 @@ def test_merge_forward_matches_oracle(
     _assert_matches_oracle(out, oracle)
 
 
-def test_merge_forward_tolerance(transcripts, snapshots, transcripts_pd, snapshots_pd):
+@pytest.mark.parametrize("strategy", ["merge", "window"])
+def test_forward_tolerance(
+    transcripts, snapshots, transcripts_pd, snapshots_pd, strategy
+):
     """Forward staleness flips sign: a match further than tol in the FUTURE
     is nulled."""
     out = _collect_sorted(
         asof_join(
             transcripts, snapshots, tolerance_s=120.0,
-            strategy="merge", direction="forward",
+            strategy=strategy, direction="forward",
         )
     )
     oracle = asof_oracle(
@@ -262,10 +267,10 @@ def test_merge_forward_tolerance(transcripts, snapshots, transcripts_pd, snapsho
 
 
 def test_merge_forward_equals_cogroup_randomized(spark):
-    """merge/forward == cogroup/forward on randomized frames with planted
-    equal-ts ties, duplicate right rows (greatest-tuple rule), null left
-    timestamps (must stay unmatched — the desc_nulls_first edge) and keys
-    with no right side at all."""
+    """merge/forward AND window/forward == cogroup/forward on randomized
+    frames with planted equal-ts ties, duplicate right rows
+    (greatest-tuple rule), null left timestamps (must stay unmatched — the
+    desc_nulls_first edge) and keys with no right side at all."""
     rs = np.random.RandomState(19)
     n_keys, rows = 12, 400
     lrows = []
@@ -290,15 +295,83 @@ def test_merge_forward_equals_cogroup_randomized(spark):
         rrows, "conv_id string, snap_ts timestamp, f_a double, f_b double"
     )
     for allow_exact in (True, False):
-        m = _collect_sorted(
-            asof_join(left, right, allow_exact=allow_exact,
-                      strategy="merge", direction="forward")
-        )
         c = _collect_sorted(
             asof_join(left, right, allow_exact=allow_exact,
                       strategy="cogroup", direction="forward")
         )
-        pd.testing.assert_frame_equal(m, c)
-        # null-ts left rows present and unmatched
-        nulls = m[m["ts"].isna()]
-        assert len(nulls) > 0 and nulls["snap_ts"].isna().all()
+        for strategy in ("merge", "window"):
+            m = _collect_sorted(
+                asof_join(left, right, allow_exact=allow_exact,
+                          strategy=strategy, direction="forward")
+            )
+            pd.testing.assert_frame_equal(m, c)
+            # null-ts left rows present and unmatched
+            nulls = m[m["ts"].isna()]
+            assert len(nulls) > 0 and nulls["snap_ts"].isna().all()
+
+
+# ---------- window-strategy nearest direction (r5) ----------
+
+
+def test_window_nearest_matches_pandas(
+    transcripts, snapshots, transcripts_pd, snapshots_pd
+):
+    """The one-pass prev+next window fill against the pandas nearest
+    oracle — nearest finally has a skew-safe (spill-backed sort) path."""
+    out = _collect_sorted(
+        asof_join(transcripts, snapshots, strategy="window", direction="nearest")
+    )
+    oracle = asof_oracle(transcripts_pd, snapshots_pd, direction="nearest")
+    _assert_matches_oracle(out, oracle)
+
+
+def test_window_nearest_equals_cogroup_randomized(spark):
+    """window/nearest == cogroup/nearest on randomized frames: equal-ts
+    duplicate right rows (greatest-tuple pre-dedup), equidistant pairs
+    (prefer preceding), strict exactness, tolerance, null left timestamps
+    (must stay unmatched — the next-frame would otherwise hand them the
+    first snapshot in sort order), and right-less keys."""
+    rs = np.random.RandomState(29)
+    n_keys = 10
+    lrows = []
+    for i in range(300):
+        key = f"k{rs.randint(n_keys)}"
+        # second-granularity ts => planted equidistant cases occur
+        ts = None if rs.rand() < 0.05 else (
+            pd.Timestamp("2026-02-01") + pd.Timedelta(seconds=int(rs.randint(0, 600)) * 2)
+        ).to_pydatetime()
+        lrows.append((key, i, ts))
+    rrows = []
+    for i in range(120):
+        key = f"k{rs.randint(n_keys - 2)}"
+        ts = (
+            pd.Timestamp("2026-02-01") + pd.Timedelta(seconds=int(rs.randint(0, 1200)))
+        ).to_pydatetime()
+        rrows.append((key, ts, float(rs.randint(0, 5)), None if rs.rand() < 0.2 else float(i)))
+    rrows.append(("k0", pd.Timestamp("2026-02-01 00:05:00").to_pydatetime(), 1.0, 7.0))
+    rrows.append(("k0", pd.Timestamp("2026-02-01 00:05:00").to_pydatetime(), 2.0, None))
+    left = spark.createDataFrame(lrows, "conv_id string, turn_idx long, ts timestamp")
+    right = spark.createDataFrame(
+        rrows, "conv_id string, snap_ts timestamp, f_a double, f_b double"
+    )
+    for allow_exact in (True, False):
+        for tol in (None, 90.0):
+            w = _collect_sorted(
+                asof_join(left, right, allow_exact=allow_exact, tolerance_s=tol,
+                          strategy="window", direction="nearest")
+            )
+            c = _collect_sorted(
+                asof_join(left, right, allow_exact=allow_exact, tolerance_s=tol,
+                          strategy="cogroup", direction="nearest")
+            )
+            pd.testing.assert_frame_equal(w, c)
+            nulls = w[w["ts"].isna()]
+            assert len(nulls) > 0 and nulls["snap_ts"].isna().all()
+    # salting composes (doubled right rows replicate xB)
+    base = _collect_sorted(
+        asof_join(left, right, strategy="window", direction="nearest")
+    )
+    salted = _collect_sorted(
+        asof_join(left, right, strategy="window", direction="nearest", salt_buckets=4)
+    )
+    pd.testing.assert_frame_equal(base, salted)
