@@ -101,6 +101,16 @@ def test_no_row_python_in_plan(transcripts, snapshots):
         plan = asof_join(transcripts, snapshots, strategy=strategy)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert node in plan
+    # the r5 window directions stay pure JVM: no Python node of any kind
+    for direction in ("forward", "nearest"):
+        plan = (
+            asof_join(transcripts, snapshots, strategy="window", direction=direction)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        for pynode in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                       "FlatMapGroupsInPandas", "FlatMapCoGroupsInPandas"):
+            assert pynode not in plan
+        assert "Window" in plan
 
 
 def test_duplicate_right_rows_deterministic(spark):
