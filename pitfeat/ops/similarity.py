@@ -124,10 +124,16 @@ def _query_matrix(queries: DataFrame, query_id_col: str, vec_col: str, dim: int)
     embedding_near_dup_pairs."""
     import numpy as np
 
-    rows = queries.select(
-        F.col(query_id_col), F.col(vec_col).cast("array<double>")
-    ).limit(MAX_ENGINE_QUERIES + 1).collect()
-    if len(rows) > MAX_ENGINE_QUERIES:
+    # Arrow-batched fetch (toPandas), not collect(): Row objects carry ~3x
+    # the payload in Python overhead, which at the 1M-query cap is the
+    # difference between ~0.5 GB and ~1.5 GB of driver memory
+    pdf = (
+        queries.select(F.col(query_id_col).alias("__qid"),
+                       F.col(vec_col).cast("array<double>").alias("__qv"))
+        .limit(MAX_ENGINE_QUERIES + 1)
+        .toPandas()
+    )
+    if len(pdf) > MAX_ENGINE_QUERIES:
         raise ValueError(
             f"matrix top-k engine: query set exceeds {MAX_ENGINE_QUERIES} rows "
             "— the query matrix lives on the driver and in every kernel "
@@ -135,10 +141,9 @@ def _query_matrix(queries: DataFrame, query_id_col: str, vec_col: str, dim: int)
             "embedding_near_dup_pairs for threshold pairs"
         )
     qids, vecs, ok = [], [], []
-    for r in rows:
-        v = r[1]
+    for qid, v in zip(pdf["__qid"], pdf["__qv"]):
         valid = v is not None and len(v) == dim
-        qids.append(r[0])
+        qids.append(qid)
         ok.append(valid)
         vecs.append(np.asarray(v, dtype=np.float64) if valid else np.zeros(dim))
     Q = np.vstack(vecs) if vecs else np.zeros((0, dim))
@@ -979,7 +984,12 @@ def knn_join(
       exploded to their ``nprobe`` nearest lists, cogrouped per list —
       candidates are ~nprobe/nlist of the corpus per row, adapting to data
       clustering like ivf_topk. nprobe == nlist makes candidates exhaustive
-      (the provable-recall contract configuration).
+      (the provable-recall contract configuration). NOTE the ``max_bucket``
+      asymmetry: an LSH row capped out of one hot bucket still pairs via
+      its other tables, but an IVF member lives in exactly ONE inverted
+      list — members of a dropped over-``max_bucket`` list stop being
+      candidates entirely (they still receive neighbors as probers). Size
+      nlist so lists stay under the cap, or raise/disable it.
     - ``exact``: the matrix engine with queries := the corpus (k+1 then
       self-drop + re-rank). O(n^2 x dim) compute and an O(n x dim) driver
       collect — the small/mid-corpus baseline and the parity oracle for the
