@@ -45,6 +45,7 @@ def _config_hash(args) -> str:
             for k in (
                 "method", "k", "id_col", "vec_col",
                 "nbits", "tables", "nlist", "nprobe", "max_bucket",
+                "max_probers",
             )
         },
         sort_keys=True,
@@ -69,6 +70,7 @@ def run(spark: SparkSession, args) -> dict:
             nlist=args.nlist,
             nprobe=args.nprobe,
             max_bucket=args.max_bucket,
+            max_probers=args.max_probers,
         )
 
     resumed = False
@@ -125,6 +127,8 @@ def main(argv=None):
     ap.add_argument("--nlist", type=int, default=16)
     ap.add_argument("--nprobe", type=int, default=4)
     ap.add_argument("--max-bucket", type=int, default=4096)
+    ap.add_argument("--max-probers", type=int, default=16384,
+                    help="ivf only: grid-split lists above this many probers")
     ap.add_argument("--semantic-dedup", action="store_true",
                     help="write the survivor corpus instead of the neighbor table")
     ap.add_argument("--threshold", type=float, default=0.97,

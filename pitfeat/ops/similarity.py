@@ -889,8 +889,11 @@ def _knn_score_block(V, Vn, ids, QV, QVn, qids, k: int, prober_block: int = 1024
     vs the engine's per-row reduce is last-ulp cosine differences BETWEEN
     the bucketed and exact paths (~1e-15 relative; parity tests compare at
     1e-9, and rank flips would need two distinct vectors within an ulp —
-    exact duplicates still tie exactly, both sides of the tie seeing the
-    same arithmetic). Two measured pitfalls, don't reintroduce them: the
+    exact duplicates tie exactly when scored in the SAME group, both sides
+    of the tie seeing the same arithmetic; knn_join's grid-split cells can
+    place twins in different groups, where a one-ulp gap may decide a
+    k-boundary slot instead of the id rule — deterministic per
+    configuration, documented in the split parity test). Two measured pitfalls, don't reintroduce them: the
     double-np.where cosine normalization allocated ~5 block-sized temps and
     cost 4x the GEMM (hence the precomputed 1/norm factors + in-place
     multiplies), and the axis-wise 2D np.partition for the per-prober kth
@@ -961,6 +964,7 @@ def knn_join(
     nprobe: int = 4,
     centroids=None,
     max_bucket: int = 4096,
+    max_probers: int = 16384,
 ) -> DataFrame:
     """For EVERY corpus row, its top-k nearest neighbors by cosine —
     columns (id_col, nbr_id, cosine, rank), tie rule (cosine desc, nbr_id
@@ -984,12 +988,18 @@ def knn_join(
       exploded to their ``nprobe`` nearest lists, cogrouped per list —
       candidates are ~nprobe/nlist of the corpus per row, adapting to data
       clustering like ivf_topk. nprobe == nlist makes candidates exhaustive
-      (the provable-recall contract configuration). NOTE the ``max_bucket``
-      asymmetry: an LSH row capped out of one hot bucket still pairs via
-      its other tables, but an IVF member lives in exactly ONE inverted
-      list — members of a dropped over-``max_bucket`` list stop being
-      candidates entirely (they still receive neighbors as probers). Size
-      nlist so lists stay under the cap, or raise/disable it.
+      (the provable-recall contract configuration). Hot lists are NOT
+      dropped (an IVF member lives in exactly ONE inverted list, so the
+      LSH drop rule would silently remove it as a candidate everywhere):
+      lists over ``max_bucket`` members or ``max_probers`` probers are
+      grid-split instead — members salted into ceil(mc/max_bucket) blocks
+      by id hash, probers into ceil(pc/max_probers) blocks by id hash,
+      each side replicated across the OTHER side's blocks, cogrouped on
+      (list, mblock, pblock). Every (member, prober) pair lands in exactly
+      one cell, per-cell memory is bounded, and the union of per-cell
+      top-ks contains the true top-k — the standard blocked-matmul
+      distribution, at the cost of members x p_blocks + probers x
+      m_blocks row replication on the hot lists only.
     - ``exact``: the matrix engine with queries := the corpus (k+1 then
       self-drop + re-rank). O(n^2 x dim) compute and an O(n x dim) driver
       collect — the small/mid-corpus baseline and the parity oracle for the
@@ -1072,11 +1082,6 @@ def knn_join(
         F.col("__v").alias("__qv"),
         F.explode(_ivf_lists_udf(C, dim, nprobe)(F.col("__v"))).alias("__qlist"),
     )
-    if max_bucket > 0:
-        from pitfeat.ops.dedup import _drop_hot_buckets
-
-        members = _drop_hot_buckets(members, ["__list"], max_bucket)
-
     def list_kernel(mpdf: pd.DataFrame, ppdf: pd.DataFrame) -> pd.DataFrame:
         if len(mpdf) == 0 or len(ppdf) == 0:
             return pd.DataFrame({id_col: [], "nbr_id": [], "cosine": []})
@@ -1085,12 +1090,88 @@ def knn_join(
         oq, oi, oc = _knn_score_block(V, Vn, ids, QV, QVn, qids, k)
         return pd.DataFrame({id_col: oq, "nbr_id": oi, "cosine": oc})
 
-    cands = (
-        members.groupBy("__list")
-        .cogroup(probers.groupBy("__qlist"))
-        .applyInPandas(list_kernel, schema=out_schema)
-    )
+    splits = _ivf_grid_splits(valid, C, dim, nprobe, max_bucket, max_probers)
+    if splits is not None:
+        # blocked self-KNN over hot lists (see the method docstring): block
+        # counts ship as a tiny broadcast-joined table — nlist rows, never a
+        # literal plan tree. Block membership is a pure hash of the row id,
+        # so cell composition (and the kernel's GEMM shapes) stay pure
+        # functions of the data — the cogroup determinism argument survives
+        # the split. Each (member, prober) pair meets in exactly one cell:
+        # (list, mhash(member), phash(prober)).
+        sdf = F.broadcast(splits)
+        members = (
+            members.join(sdf, members["__list"] == sdf["__l"], "inner")
+            .withColumn(
+                "__mb",
+                F.pmod(F.xxhash64(F.lit(seed + 101), F.col(id_col)), F.col("__ms")).cast("int"),
+            )
+            .withColumn("__pb", F.explode(F.sequence(F.lit(0), F.col("__ps") - F.lit(1))))
+            .drop("__l", "__ms", "__ps")
+        )
+        probers = (
+            probers.join(sdf, probers["__qlist"] == sdf["__l"], "inner")
+            .withColumn(
+                "__pb",
+                F.pmod(F.xxhash64(F.lit(seed + 103), F.col("__qid")), F.col("__ps")).cast("int"),
+            )
+            .withColumn("__mb", F.explode(F.sequence(F.lit(0), F.col("__ms") - F.lit(1))))
+            .drop("__l", "__ms", "__ps")
+        )
+        cands = (
+            members.groupBy("__list", "__mb", "__pb")
+            .cogroup(probers.groupBy("__qlist", "__mb", "__pb"))
+            .applyInPandas(list_kernel, schema=out_schema)
+        )
+    else:
+        cands = (
+            members.groupBy("__list")
+            .cogroup(probers.groupBy("__qlist"))
+            .applyInPandas(list_kernel, schema=out_schema)
+        )
     return _knn_rank(cands, k, id_col)
+
+
+def _ivf_grid_splits(
+    valid: DataFrame, C, dim: int, nprobe: int, max_bucket: int, max_probers: int
+):
+    """Per-list grid-block counts for knn_join's IVF path, or None when no
+    list exceeds either cap (the common case — zero extra plan nodes then).
+
+    One extra assignment pass (posexplode of the nprobe list array; pos 0 is
+    the member list — _probe_np orders nearest-first with the same
+    lowest-id tie rule as its argmax leg) aggregated to <= nlist rows and
+    collected. Counts only SIZE the blocks (ceil(count/cap)), so a last-ulp
+    member-assignment difference between this pass and the members frame's
+    own argmax call is harmless — blocks stay ~cap-bounded either way."""
+    if max_bucket <= 0 and max_probers <= 0:
+        return None
+    from math import ceil
+
+    rows = (
+        valid.select(
+            F.posexplode(_ivf_lists_udf(C, dim, nprobe)(F.col("__v"))).alias(
+                "__pos", "__l"
+            )
+        )
+        .groupBy("__l")
+        .agg(
+            F.count("*").alias("__pc"),
+            F.sum(F.when(F.col("__pos") == 0, 1).otherwise(0)).alias("__mc"),
+        )
+        .collect()
+    )
+    data = [
+        (
+            int(r["__l"]),
+            max(1, ceil(int(r["__mc"]) / max_bucket)) if max_bucket > 0 else 1,
+            max(1, ceil(int(r["__pc"]) / max_probers)) if max_probers > 0 else 1,
+        )
+        for r in rows
+    ]
+    if all(ms == 1 and ps == 1 for _, ms, ps in data):
+        return None
+    return valid.sparkSession.createDataFrame(data, "__l int, __ms int, __ps int")
 
 
 def _knn_join_pairjoin(

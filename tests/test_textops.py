@@ -1025,6 +1025,71 @@ def test_knn_join_ivf_exhaustive_equals_exact(spark, embs):
     assert ivf7 == ivf
 
 
+def test_knn_join_ivf_grid_split_parity_and_hot_lists(spark):
+    """Hot inverted lists are grid-split (blocked cogroup), not dropped:
+    with caps far below every list size the IVF path must (a) reproduce
+    the uncapped result — the old LSH-style drop silently removed a hot
+    list's members as candidates EVERYWHERE, since an IVF member lives in
+    exactly one list — and (b) still find planted twins at rank 1 when
+    every list is over both caps. Comparison is per-query COSINE multisets
+    at 1e-9 rounding, not id tuples: split cells present different GEMM
+    shapes than the whole-list kernel, so (a) near-tied distinct neighbors
+    can swap adjacent ranks and (b) planted twins — exactly tied in one
+    kernel group — can land in different cells, pick up a one-ulp cosine
+    gap, and flip which twin wins a k-boundary slot (observed here: ids 5
+    vs 1_000_005 at rank 5 for query 449). A genuinely lost candidate
+    still fails: its replacement's cosine differs at 9 dp."""
+    from pitfeat.ops.similarity import knn_join
+    from pitfeat.synth import gen_clustered_embeddings
+
+    e = gen_clustered_embeddings(spark, 600, dim=16, n_centers=4, seed=9)
+    twins = e.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = e.unionByName(twins)
+
+    base = _knn_norm(knn_join(corpus, k=5, method="ivf", nlist=4, nprobe=4))
+    split = _knn_norm(
+        knn_join(
+            corpus, k=5, method="ivf", nlist=4, nprobe=4,
+            max_bucket=37, max_probers=101,
+        )
+    )
+    def by_query(rows):
+        out = {}
+        for (q, n, c, _r) in rows:
+            out.setdefault(q, []).append(c)
+        return {q: sorted(cs) for q, cs in out.items()}
+
+    assert by_query(split) == by_query(base) and len(base) == 610 * 5
+    # non-tied neighbors must agree exactly: ids may differ only on rows
+    # whose rounded cosine appears more than once for that query (in-list
+    # near-tie swaps) or on the rank-k row (a boundary tie's loser is cut,
+    # so it is invisible to the cosine-multiset check above)
+    tied = {
+        (q, c)
+        for q, cs in by_query(base).items()
+        for c in cs
+        if cs.count(c) > 1
+    }
+    ids_a = {(q, n, c) for (q, n, c, r) in base if (q, c) not in tied and r < 5}
+    ids_b = {(q, n, c) for (q, n, c, r) in split if (q, c) not in tied and r < 5}
+    assert ids_a == ids_b
+    top1 = {q: n for (q, n, _c, r) in split if r == 1}
+    for i in range(10):
+        assert top1[i] == i + 1_000_000
+        assert top1[i + 1_000_000] == i
+    # partitioning invariance survives the split: block membership is a
+    # pure id-hash, so cell composition is layout-independent
+    split11 = _knn_norm(
+        knn_join(
+            corpus.repartition(11), k=5, method="ivf", nlist=4, nprobe=4,
+            max_bucket=37, max_probers=101,
+        )
+    )
+    assert split11 == split
+
+
 def test_knn_join_bucketed_recall_clustered(spark):
     """On clusterable data the partial-probe/bucketed paths must recover
     >= 0.9 of the true top-10 sets (the s4_ivf_clustered discipline applied
