@@ -41,6 +41,7 @@ def main(argv=None):
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--twins", type=int, default=1000)
     ap.add_argument("--max-bucket", type=int, default=16384)
+    ap.add_argument("--max-probers", type=int, default=16384)
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     args = ap.parse_args(argv)
 
@@ -64,6 +65,7 @@ def main(argv=None):
     out = knn_join(
         e, k=args.k, method="ivf", nlist=args.nlist, nprobe=args.nprobe,
         dim=args.dim, max_bucket=args.max_bucket,
+        max_probers=args.max_probers,
     )
     n_rows = out.agg(
         F.count(F.lit(1)).alias("n"),
