@@ -28,7 +28,16 @@ from pitfeat.ops import similarity as SIM
 from pitfeat.ops import text as TX
 from pitfeat.ops import windows as W
 from pitfeat.ops.asof import asof_join
-from pitfeat.ops.normalize import compute_minmax, normalize_minmax, prune_degenerate
+from pitfeat.ops.ewma import ewma
+from pitfeat.ops.normalize import (
+    compute_minmax,
+    compute_moments,
+    compute_quantiles,
+    normalize_minmax,
+    normalize_zscore,
+    prune_degenerate,
+    quantile_bin,
+)
 from pitfeat.ops.vectors import allclose_compare, assemble
 
 SF_DEFAULT = "/root/testdata/sf0.001"
@@ -687,31 +696,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
-    q["f_json_funcs"] = lambda spark, sf: (
-        _events(spark, sf).select(
-            "event_id",
-            F.get_json_object("props", "$.k").cast("int").alias("k_val"),
-            # structured parse path (§2.7 from_json): same payload through a
-            # declared schema instead of a JSONPath probe
-            F.from_json("props", "k int")["k"].alias("k_struct"),
+    # w11/a10 sit in-cap at the slots f_json_funcs/f_array_funcs held in r4
+    # (both rotated to the tail with green rows in ALL of r1-r4); new ops get
+    # external driver evidence in their first round, per the rotation policy
+    # in BASELINE.md "Contract verification coverage".
+    def w11(spark, sf):
+        ev = _events(spark, sf).select("event_id", "user_id", "ts", "value")
+        out = ewma(ev, "value", 0.25, key="user_id", ts="ts", order_extra=("event_id",))
+        return out.select(
+            "event_id", "user_id", _us("ts").alias("ts_us"), "value", "value_ewma"
         )
-    )
 
-    q["f_array_funcs"] = lambda spark, sf: (
-        _t(spark, sf, "embeddings").select(
-            "vec_id",
-            F.round(
-                F.aggregate(
-                    F.transform("embedding", lambda x: x.cast("double")),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                / F.size("embedding"),
-                6,
-            ).alias("emb_mean"),
-            F.element_at("embedding", 1).cast("double").alias("first_dim"),
-        )
-    )
+    q["w11_ewma"] = w11
+
+    def a10(spark, sf):
+        ev = _events(spark, sf).select("event_id", "value")
+        cuts = compute_quantiles(ev, "value", [0.25, 0.5, 0.75])
+        return quantile_bin(ev, "value", cuts, out_col="value_bin")
+
+    q["a10_quantile_bin"] = a10
 
     # --- V: vectors ---
     def v1(spark, sf):
@@ -949,6 +952,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["w8_dedup"] = w8
+
+    # scalar families rotated OUT of the cap in r5 (driver-green r1-r4;
+    # f_string/f_date keep the family's in-cap presence)
+    q["f_json_funcs"] = lambda spark, sf: (
+        _events(spark, sf).select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+            # structured parse path (§2.7 from_json): same payload through a
+            # declared schema instead of a JSONPath probe
+            F.from_json("props", "k int")["k"].alias("k_struct"),
+        )
+    )
+
+    q["f_array_funcs"] = lambda spark, sf: (
+        _t(spark, sf, "embeddings").select(
+            "vec_id",
+            F.round(
+                F.aggregate(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                / F.size("embedding"),
+                6,
+            ).alias("emb_mean"),
+            F.element_at("embedding", 1).cast("double").alias("first_dim"),
+        )
+    )
+
+    def a9(spark, sf):
+        ev = _events(spark, sf).select("event_id", "value")
+        stats = compute_moments(ev, ["value"])
+        return normalize_zscore(ev, stats).select(
+            "event_id", F.col("value").alias("value_z")
+        )
+
+    q["a9_zscore"] = a9
 
     return q
 
@@ -1427,5 +1467,46 @@ def oracle_sql() -> dict[str, str]:
         "SELECT count(DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
         "AS n_distinct FROM documents"
     )
+
+    # W11: the engine runs the adjust=False recurrence y_i = 0.75*y_{i-1} +
+    # 0.25*x_i streamed per user; the oracle is the closed form
+    # y_i = 0.75^(i-1) x_1 + sum_{j=2..i} 0.25 * 0.75^(i-j) x_j over the
+    # (ts, event_id)-ordered rows — O(n^2) per user, fine at oracle scale,
+    # numerically unusable as a plan (see pitfeat/ops/ewma.py docstring).
+    o["w11_ewma"] = """
+        WITH o AS (
+            SELECT event_id, user_id, ts, value,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events
+        )
+        SELECT a.event_id, a.user_id, epoch_us(a.ts) AS ts_us, a.value,
+               SUM(CASE WHEN b.rn = 1 THEN power(0.75, a.rn - 1) * b.value
+                        ELSE 0.25 * power(0.75, a.rn - b.rn) * b.value END) AS value_ewma
+        FROM o a JOIN o b ON a.user_id = b.user_id AND b.rn <= a.rn
+        GROUP BY a.event_id, a.user_id, a.ts, a.value, a.rn
+    """
+
+    # A10: Spark's exact percentile and DuckDB's quantile_cont both linearly
+    # interpolate — identical cutpoints — and the bin id is an exact integer,
+    # so this compares with zero float slack.
+    o["a10_quantile_bin"] = """
+        WITH q AS (
+            SELECT quantile_cont(value, 0.25) AS q1,
+                   quantile_cont(value, 0.50) AS q2,
+                   quantile_cont(value, 0.75) AS q3
+            FROM events
+        )
+        SELECT e.event_id, e.value,
+               CASE WHEN e.value IS NULL THEN NULL
+                    ELSE 1 + CAST(e.value >= q.q1 AS INTEGER)
+                           + CAST(e.value >= q.q2 AS INTEGER)
+                           + CAST(e.value >= q.q3 AS INTEGER) END AS value_bin
+        FROM events e, q
+    """
+
+    o["a9_zscore"] = """
+        WITH s AS (SELECT avg(value) AS mu, stddev_samp(value) AS sd FROM events)
+        SELECT e.event_id, (e.value - s.mu) / s.sd AS value_z FROM events e, s
+    """
 
     return o

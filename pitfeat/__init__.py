@@ -16,6 +16,13 @@ See SURVEY.md for the blueprint and BASELINE.md for the performance contract.
 from pitfeat.config import PitfeatConfig
 from pitfeat.ops.asof import asof_join
 from pitfeat.ops.dedup import exact_dedup, minhash_lsh_pairs, simhash_near_pairs
+from pitfeat.ops.ewma import ewma
+from pitfeat.ops.normalize import (
+    compute_moments,
+    compute_quantiles,
+    normalize_zscore,
+    quantile_bin,
+)
 from pitfeat.ops.similarity import cosine_topk, ivf_topk, knn_join, lsh_topk
 from pitfeat.pipeline import Pipeline
 from pitfeat.session import get_spark
@@ -34,5 +41,10 @@ __all__ = [
     "lsh_topk",
     "ivf_topk",
     "knn_join",
+    "ewma",
+    "compute_moments",
+    "normalize_zscore",
+    "compute_quantiles",
+    "quantile_bin",
     "__version__",
 ]

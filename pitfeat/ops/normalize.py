@@ -90,3 +90,127 @@ def normalize_minmax(df: DataFrame, stats: MinMaxStats, cols: list[str] | None =
             raise ValueError(f"normalize_minmax: column {c!r} is degenerate; prune first")
         out = out.withColumn(c, (F.col(c) - F.lit(float(mn))) / F.lit(float(mx - mn)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# A9: z-score standardization (SURVEY.md §2.4 A9)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class MomentStats:
+    """Per-column mean / sample-stddev / non-null-non-NaN count."""
+
+    means: dict  # col -> float|None
+    stds: dict  # col -> float|None
+    counts: dict  # col -> int
+
+    def degenerate(self) -> list[str]:
+        """Columns z-score cannot scale: <2 observations, or zero/NaN spread."""
+        out = []
+        for c in self.means:
+            s = self.stds[c]
+            if (
+                self.counts[c] < 2
+                or s is None
+                or s == 0.0
+                or (isinstance(s, float) and math.isnan(s))
+            ):
+                out.append(c)
+        return out
+
+    def survivors(self) -> list[str]:
+        deg = set(self.degenerate())
+        return [c for c in self.means if c not in deg]
+
+
+def compute_moments(df: DataFrame, cols: list[str]) -> MomentStats:
+    """A9 stats pass: per-column mean + sample stddev in ONE agg job, same
+    shape as compute_minmax — algebraic aggregates, map-side partials reduce
+    the shuffle to one row per partition, collect() is O(cols). NaN inputs
+    are excluded explicitly (Spark avg/stddev skip NULL but a single NaN
+    would poison the running sum)."""
+    aggs = []
+    for c in cols:
+        clean = F.when(~F.isnan(F.col(c)), F.col(c))
+        aggs.append(F.avg(clean).alias(f"__mu_{c}"))
+        aggs.append(F.stddev_samp(clean).alias(f"__sd_{c}"))
+        aggs.append(F.count(clean).alias(f"__n_{c}"))
+    row = df.agg(*aggs).collect()[0].asDict()
+    return MomentStats(
+        means={c: row[f"__mu_{c}"] for c in cols},
+        stds={c: row[f"__sd_{c}"] for c in cols},
+        counts={c: row[f"__n_{c}"] for c in cols},
+    )
+
+
+def normalize_zscore(
+    df: DataFrame, stats: MomentStats, cols: list[str] | None = None
+) -> DataFrame:
+    """A9: x' = (x - mean) / stddev_samp per surviving column; NaN passes
+    through. Pure column expressions — stats fold into one codegen'd
+    Project, exactly like normalize_minmax."""
+    cols = cols if cols is not None else stats.survivors()
+    deg = set(stats.degenerate())
+    out = df
+    for c in cols:
+        if c in deg:
+            raise ValueError(f"normalize_zscore: column {c!r} is degenerate; prune first")
+        mu, sd = float(stats.means[c]), float(stats.stds[c])
+        out = out.withColumn(c, (F.col(c) - F.lit(mu)) / F.lit(sd))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# A10: quantile binning / discretization (SURVEY.md §2.4 A10)
+# ---------------------------------------------------------------------------
+
+
+def compute_quantiles(
+    df: DataFrame, col: str, probs: list[float], exact: bool = True
+) -> list[float]:
+    """A10 stats pass: interior quantile cutpoints of ``col`` in one agg job.
+
+    ``exact=True`` uses Spark's exact ``percentile`` (linear interpolation —
+    bit-identical to DuckDB's quantile_cont, which is what makes the bin
+    assignment externally oracle-able). Exact percentile buffers DISTINCT
+    values per partition, so it is the right default for bounded-cardinality
+    feature columns; for extreme-cardinality columns at full scale pass
+    ``exact=False`` to use ``approx_percentile`` (bounded-memory KLL-style
+    sketch, mergeable map-side) and accept sketch-accuracy cutpoints.
+    """
+    for p in probs:
+        if not (0.0 < p < 1.0):
+            raise ValueError(f"compute_quantiles: probs must be interior, got {p}")
+    fn = "percentile" if exact else "approx_percentile"
+    arr = ", ".join(repr(float(p)) for p in probs)
+    # NaN would sort greatest and shift every cutpoint — exclude it, like
+    # compute_minmax / compute_moments do
+    clean = f"CASE WHEN NOT isnan({col}) THEN {col} END"
+    row = df.select(
+        F.expr(f"{fn}({clean}, array({arr}))").alias("__q")
+    ).collect()[0]
+    q = row["__q"]
+    if q is None or any(v is None for v in q):
+        raise ValueError(f"compute_quantiles: column {col!r} has no non-null values")
+    return [float(v) for v in q]
+
+
+def quantile_bin(
+    df: DataFrame, col: str, cutpoints: list[float], out_col: str | None = None
+) -> DataFrame:
+    """A10: integer bin id ``1 + #{cutpoints <= x}`` (so k cutpoints yield
+    bins 1..k+1; a value equal to a cutpoint falls in the HIGHER bin). Null
+    and NaN inputs yield a null bin. Pure codegen'd comparisons — the
+    cutpoints are literals, the output is an exact integer, so the transform
+    has zero float-aggregation drift and compares exactly against any other
+    engine given identical cutpoints."""
+    if sorted(cutpoints) != list(cutpoints):
+        raise ValueError("quantile_bin: cutpoints must be ascending")
+    out_col = out_col or f"{col}_bin"
+    x = F.col(col)
+    bin_expr = F.lit(1)
+    for c in cutpoints:
+        bin_expr = bin_expr + F.when(x >= F.lit(float(c)), 1).otherwise(0)
+    guarded = F.when(x.isNotNull() & ~F.isnan(x), bin_expr).cast("int")
+    return df.withColumn(out_col, guarded)

@@ -90,3 +90,80 @@ def test_vector_width_fixed(snapshots):
     v = assemble(pruned, cols)
     widths = v.select(F.size("features").alias("w")).distinct().collect()
     assert len(widths) == 1 and widths[0][0] == len(cols)
+
+
+# ---------------------------------------------------------------------------
+# A9 z-score / A10 quantile binning
+# ---------------------------------------------------------------------------
+
+
+def test_zscore_matches_numpy(spark):
+    from pitfeat.ops.normalize import compute_moments, normalize_zscore
+
+    rng = np.random.default_rng(11)
+    xs = rng.normal(3.0, 2.0, 500)
+    pdf = pd.DataFrame({"x": xs, "c": np.full(500, 7.0), "n": np.nan})
+    df = spark.createDataFrame(pdf)
+    stats = compute_moments(df, ["x", "c", "n"])
+    # constant and all-NaN columns are degenerate; x survives
+    assert set(stats.degenerate()) == {"c", "n"}
+    assert stats.survivors() == ["x"]
+    out = normalize_zscore(df, stats).toPandas()["x"].to_numpy()
+    np.testing.assert_allclose(
+        np.sort(out), np.sort((xs - xs.mean()) / xs.std(ddof=1)), rtol=1e-12
+    )
+    with pytest.raises(ValueError, match="degenerate"):
+        normalize_zscore(df, stats, ["c"])
+
+
+def test_zscore_nan_excluded_from_stats(spark):
+    from pitfeat.ops.normalize import compute_moments
+
+    pdf = pd.DataFrame({"x": [1.0, 2.0, 3.0, np.nan]})
+    stats = compute_moments(spark.createDataFrame(pdf), ["x"])
+    assert stats.counts["x"] == 3
+    assert stats.means["x"] == pytest.approx(2.0)
+    assert stats.stds["x"] == pytest.approx(1.0)
+
+
+def test_quantile_bin_edges_and_nulls(spark):
+    from pitfeat.ops.normalize import compute_quantiles, quantile_bin
+
+    pdf = pd.DataFrame({"x": [1.0, 2.0, 3.0, 4.0, None, np.nan, 10.0, 7.3, 2.2, 8.8, 0.1, 5.5, 6.6]})
+    df = spark.createDataFrame(pdf)
+    cuts = compute_quantiles(df, "x", [0.25, 0.5, 0.75])
+    # NaN/null excluded: matches numpy over the 11 valid values
+    valid = pdf["x"].dropna().to_numpy()
+    np.testing.assert_allclose(cuts, np.percentile(valid, [25, 50, 75]))
+    out = quantile_bin(df, "x", cuts).toPandas()
+    b = dict(zip(out["x"], out["x_bin"]))
+    # a value exactly ON a cutpoint lands in the HIGHER bin
+    on_cut = float(cuts[1])
+    got = quantile_bin(
+        spark.createDataFrame(pd.DataFrame({"x": [on_cut]})), "x", cuts
+    ).toPandas()["x_bin"][0]
+    assert got == 3
+    assert out["x_bin"].min() == 1 and out["x_bin"].max() == 4
+    # null and NaN inputs -> null bin
+    assert out.loc[out["x"].isna(), "x_bin"].isna().all()
+    # bins are monotone in x
+    v = out.dropna(subset=["x"]).sort_values("x")
+    assert v["x_bin"].is_monotonic_increasing
+
+
+def test_quantile_validation_and_approx_leg(spark):
+    from pitfeat.ops.normalize import compute_quantiles, quantile_bin
+
+    df = spark.createDataFrame(pd.DataFrame({"x": np.arange(100, dtype=float)}))
+    with pytest.raises(ValueError, match="interior"):
+        compute_quantiles(df, "x", [0.0, 0.5])
+    with pytest.raises(ValueError, match="ascending"):
+        quantile_bin(df, "x", [3.0, 1.0])
+    with pytest.raises(ValueError, match="no non-null"):
+        compute_quantiles(
+            spark.createDataFrame(pd.DataFrame({"x": [None, None]}), "x double"),
+            "x",
+            [0.5],
+        )
+    approx = compute_quantiles(df, "x", [0.5], exact=False)
+    assert 45.0 <= approx[0] <= 55.0

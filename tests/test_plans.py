@@ -138,3 +138,18 @@ def test_knn_join_plans_never_materialize_pairs(spark):
         assert "BatchEvalPython" not in plan
     assert "FlatMapGroupsInPandas" in lsh_plan
     assert "FlatMapCoGroupsInPandas" in ivf_plan
+
+
+def test_ewma_plan_single_pass(spark):
+    """W11 ewma must plan ONE streaming MapInPandas pass over ONE range
+    exchange (key co-location) + in-partition sort — the merge-strategy
+    shape: no extra shuffle, no row-wise Python, no window fallback."""
+    from pitfeat.ops.ewma import ewma
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(ewma(ev, "value", 0.25, key="user_id", ts="ts", order_extra=("event_id",)))
+    assert plan.count("MapInPandas") == 1, plan[:800]
+    assert plan.count("Exchange") == 1, plan[:800]
+    assert "rangepartitioning" in plan, plan[:800]
+    assert "BatchEvalPython" not in plan
+    assert "Window" not in plan
