@@ -41,6 +41,7 @@ HEADLINE = [
     "j6_prev_session",
     "w3_rolling",
     "w9_sessionize",
+    "w11_ewma",
     "a1_grouped_agg",
     "a4_minmax_normalize",
     "d2_minhash_lsh",

@@ -42,6 +42,22 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _ewma_continue(xv: pd.Series, seed: float | None, alpha: float) -> np.ndarray:
+    """adjust=False EWMA of ``xv`` continued from ``seed`` (a prior EWMA
+    value) — prepending the seed and dropping it reproduces the recurrence
+    ``y_1 = (1-a)*seed + a*x_1`` bit-for-bit (pinned by the batch-boundary
+    test). Shared by the batch kernel and the streaming state op."""
+    if seed is not None:
+        return (
+            pd.concat([pd.Series([seed]), xv], ignore_index=True)
+            .ewm(alpha=alpha, adjust=False)
+            .mean()
+            .iloc[1:]
+            .to_numpy()
+        )
+    return xv.ewm(alpha=alpha, adjust=False).mean().to_numpy()
+
+
 def ewma(
     df: DataFrame,
     col: str,
@@ -89,18 +105,7 @@ def ewma(
                 valid = xs.notna().to_numpy()
                 if not valid.any():
                     continue  # state (if any) persists untouched
-                xv = xs[valid]
-                seed = state.get(k)
-                if seed is not None:
-                    yv = (
-                        pd.concat([pd.Series([seed]), xv], ignore_index=True)
-                        .ewm(alpha=alpha, adjust=False)
-                        .mean()
-                        .iloc[1:]
-                        .to_numpy()
-                    )
-                else:
-                    yv = xv.ewm(alpha=alpha, adjust=False).mean().to_numpy()
+                yv = _ewma_continue(xs[valid], state.get(k), alpha)
                 y[idx[valid]] = yv
                 state[k] = float(yv[-1])
             last_key = pdf[key].iloc[-1]

@@ -306,3 +306,78 @@ def asof_features_microbatch(snapshots: DataFrame):
         return asof_join(batch_df, snapshots)
 
     return transform
+
+
+def stream_ewma(
+    turns: DataFrame,
+    col: str,
+    alpha: float,
+    key: str = "conv_id",
+    ts: str = "ts",
+    order_extra: tuple[str, ...] = ("turn_idx",),
+    out_col: str | None = None,
+) -> DataFrame:
+    """W11's streaming form: per-key EWMA as a custom stateful operator
+    (``applyInPandasWithState``), state = ONE double per live key.
+
+    Semantics: the adjust=False recurrence applies in (``ts``,
+    ``*order_extra``) order WITHIN each micro-batch and in arrival order
+    ACROSS micro-batches, continued from the key's carried EWMA. With
+    per-key time-ordered ingestion (the standard append-only log-shipping
+    shape) this equals the batch ``pitfeat.ewma`` exactly — pinned by the
+    stream==batch test, including a trickled multi-batch run. An
+    out-of-order late row smooths in arrival order rather than rewriting
+    already-emitted rows (append-mode semantics, the same bounded caveat as
+    ``stream_pit_features``). Null inputs emit null and leave state
+    untouched. State is O(1) per key — no history, no watermark needed.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pitfeat.ops.ewma import _ewma_continue
+
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"stream_ewma: alpha must be in (0, 1], got {alpha}")
+    out_col = out_col or f"{col}_ewma"
+    extras = list(order_extra)
+    types = {f.name: f.dataType.simpleString() for f in turns.schema.fields}
+    src = turns.select(
+        F.col(key),
+        F.unix_micros(F.col(ts).cast("timestamp")).alias("t_us"),
+        *[F.col(c) for c in extras],
+        F.col(col).cast("double").alias(col),
+    )
+    out_schema = (
+        f"{key} {types[key]}, t_us long, "
+        + ", ".join(f"{c} {types[c]}" for c in extras)
+        + f", {col} double, {out_col} double"
+    )
+
+    def fn(group_key, pdfs, state):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["t_us"] + extras).reset_index(drop=True)
+        x = pdf[col]
+        valid = x.notna().to_numpy()
+        y = np.full(len(pdf), np.nan)
+        seed = state.get[0] if state.exists else None
+        if valid.any():
+            yv = _ewma_continue(x[valid], seed, alpha)
+            y[np.flatnonzero(valid)] = yv
+            state.update((float(yv[-1]),))
+        pdf[out_col] = y
+        yield pdf
+
+    out = src.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="y double",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    return out.select(
+        key,
+        *extras,
+        F.timestamp_micros(F.col("t_us")).alias(ts),
+        col,
+        out_col,
+    )

@@ -352,3 +352,64 @@ def test_stream_pit_checkpoint_recovery_exactly_once(
             equal_nan=True,
             err_msg=c,
         )
+
+
+def test_stream_ewma_equals_batch_across_restart(spark, transcripts, tmp_path):
+    """W11 streaming leg: per-key EWMA state (one double) must carry across
+    micro-batches AND across a checkpoint restart. Run 1 (availableNow)
+    processes each conv's time-PREFIX (turn_idx < 10); new files land; run 2
+    restarts from the same checkpoint. The union must equal batch
+    pitfeat.ewma on the full data bit-for-bit — run-2 rows continue from
+    run-1 state recovered through the state store."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pitfeat.ops.ewma import ewma
+    from pitfeat.streaming import stream_ewma
+
+    base = transcripts.withColumn("x", F.length("text").cast("double")).select(
+        "conv_id", "turn_idx", "ts", "x"
+    )
+    tdir = str(tmp_path / "turns")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    base.where(F.col("turn_idx") < 10).write.mode("overwrite").parquet(tdir)
+
+    def run_once():
+        src = spark.readStream.schema(spark.read.parquet(tdir).schema).parquet(tdir)
+        q = (
+            stream_ewma(src, "x", 0.3)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        return spark.read.parquet(out)
+
+    n1 = run_once().count()
+    assert n1 == base.where(F.col("turn_idx") < 10).count()
+    base.where(F.col("turn_idx") >= 10).write.mode("append").parquet(tdir)
+    got = (
+        run_once()
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        ewma(base, "x", 0.3, key="conv_id", ts="ts", order_extra=("turn_idx",))
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    nan = want["x_ewma"].isna().to_numpy()
+    assert (got["x_ewma"].isna().to_numpy() == nan).all()
+    # bit-exact: the recurrence is identical arithmetic in both paths
+    assert (
+        got["x_ewma"].to_numpy()[~nan] == want["x_ewma"].to_numpy()[~nan]
+    ).all()
+    pd.testing.assert_series_equal(got["ts"], want["ts"], check_names=False)
+    np.testing.assert_array_equal(got["x"].to_numpy(), want["x"].to_numpy())
