@@ -36,6 +36,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from pitfeat.ops.asof import asof_join
+from pitfeat.ops.ewma import ewma
 
 EPOCH_US = 1_704_067_200_000_000  # 2024-01-01 UTC
 STEP_US = 50_000  # 50 ms between turns
@@ -138,6 +139,10 @@ def main():
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--skip-window", action="store_true",
                     help="merge strategy only (skip the window-checksum cross-check)")
+    ap.add_argument("--op", choices=["asof", "ewma"], default="asof",
+                    help="kernel to stress: the as-of join strategies, or the "
+                    "W11 EWMA recurrence (same sorted-stream shape, state = "
+                    "one scalar per boundary key)")
     args = ap.parse_args()
 
     spark = (
@@ -156,26 +161,49 @@ def main():
     turns = gen_turns(spark, args.turns, args.hot_frac)
     snaps = gen_snaps(spark, args.turns, args.hot_frac)
 
-    result = {"turns": args.turns, "hot_frac": args.hot_frac, "cpus": args.cpus}
-    for strat in (["merge"] if args.skip_window else ["merge", "window"]):
+    result = {
+        "turns": args.turns, "hot_frac": args.hot_frac, "cpus": args.cpus,
+        "op": args.op,
+    }
+    if args.op == "ewma":
+        # Deterministic value column (pure fn of (conv_id, turn_idx), seed
+        # literal FIRST — multi-arg xxhash64 folds left-to-right).
+        with_x = turns.withColumn(
+            "x",
+            F.pmod(F.xxhash64(F.lit(7), "conv_id", "turn_idx"), F.lit(10_000))
+            / 1000.0,
+        )
         t0 = time.perf_counter()
         n, chk = force(
-            asof_join(
-                turns, snaps, on="conv_id", left_ts="ts", right_ts="snap_ts",
-                strategy=strat,
-            )
+            ewma(with_x, "x", alpha=0.05, key="conv_id", ts="ts",
+                 order_extra=("turn_idx",))
         )
-        result[strat] = {
+        result["ewma"] = {
             "sec": round(time.perf_counter() - t0, 1),
             "rows": n,
             "checksum": chk,
             "peak_rss": peak_rss_mb(),
         }
-    if not args.skip_window:
-        result["checksums_equal"] = (
-            result["merge"]["checksum"] == result["window"]["checksum"]
-            and result["merge"]["rows"] == result["window"]["rows"]
-        )
+    else:
+        for strat in (["merge"] if args.skip_window else ["merge", "window"]):
+            t0 = time.perf_counter()
+            n, chk = force(
+                asof_join(
+                    turns, snaps, on="conv_id", left_ts="ts",
+                    right_ts="snap_ts", strategy=strat,
+                )
+            )
+            result[strat] = {
+                "sec": round(time.perf_counter() - t0, 1),
+                "rows": n,
+                "checksum": chk,
+                "peak_rss": peak_rss_mb(),
+            }
+        if not args.skip_window:
+            result["checksums_equal"] = (
+                result["merge"]["checksum"] == result["window"]["checksum"]
+                and result["merge"]["rows"] == result["window"]["rows"]
+            )
     print(json.dumps(result))
     spark.stop()
 
