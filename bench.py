@@ -95,6 +95,19 @@ def main():
 
     qs["s4_ivf_clustered"] = s4_clustered
 
+    # Pretrain the s6 codebook ONCE outside the timed region (VERDICT r5
+    # #4): a deployment trains its IVF codebook once and serves many KNN
+    # passes with it — re-running k-means inside every trial timed codebook
+    # construction, not the join (~30% of the r5 bench wall). The training
+    # cost is still measured and reported in extra.s6_codebook_train_sec.
+    from pitfeat.ops.similarity import _kmeans_centroids, knn_join
+
+    _t0 = time.perf_counter()
+    s6_centroids = _kmeans_centroids(
+        spark.read.parquet(clustered_dir), "embedding", "vec_id", 64, 64, seed=42
+    )
+    s6_train_sec = time.perf_counter() - _t0
+
     def s6_knn_corpus(spark_, _sf):
         # corpus-wide KNN (r5): every one of the clustered fixture's vectors
         # gets its top-10 neighbors via the IVF-bucketed cogroup path at the
@@ -102,10 +115,8 @@ def main():
         # rehearsal-evidenced regime, bench/run_ivf_rehearsal.py): per-row
         # candidate work is 1/8 of the corpus, n x nprobe x k candidate
         # rows, never all-pairs, and the 64 list-groups keep every core busy
-        from pitfeat.ops.similarity import knn_join
-
         e = spark_.read.parquet(clustered_dir)
-        return knn_join(e, k=10, method="ivf", nlist=64, nprobe=8)
+        return knn_join(e, k=10, method="ivf", nlist=64, nprobe=8, centroids=s6_centroids)
 
     qs["s6_knn_corpus"] = s6_knn_corpus
 
@@ -139,15 +150,17 @@ def main():
                 flagship_rows = n
 
     def med(xs: list[float]) -> float:
-        # TRIMMED median (VERDICT r4 #7): with >= 3 samples, drop the single
-        # slowest before taking the median. One documented multi-minute host
-        # slowdown episode spans a whole trial round, so an untrimmed median
-        # of 3 reports the episode, not the query (r4 flagship: median 5.64 s
-        # vs min 2.34 s — 2.4x spread from one bad trial). The min column is
+        # TRIMMED median (VERDICT r4 #7), outlier-gated (ADVICE r5): drop
+        # the single slowest of >= 3 samples ONLY when it is an outlier
+        # (> 1.5x the min) — the unconditional trim made the headline
+        # median the mean of the two fastest runs even in healthy rounds.
+        # The trim exists for this host's documented multi-minute slowdown
+        # episodes (r4 flagship: median 5.64 s vs min 2.34 s from one bad
+        # trial); a healthy spread stays untrimmed. The min column is
         # untouched; `queries_median_raw` keeps the untrimmed values so the
         # trim is auditable.
         s = sorted(xs)
-        if len(s) >= 3:
+        if len(s) >= 3 and s[-1] > 1.5 * s[0]:
             s = s[:-1]
         m = len(s) // 2
         return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
@@ -189,6 +202,7 @@ def main():
             flagship_rows / min(samples["flagship_pit_features"]), 1
         ),
         "trials": trials,
+        "s6_codebook_train_sec": round(s6_train_sec, 3),
         "total_median": round(sum(med(ts) for ts in samples.values()), 3),
         "queries_median_raw": {
             name: round(med_raw(ts), 3) for name, ts in samples.items()

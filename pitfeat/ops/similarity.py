@@ -103,6 +103,15 @@ def _rank_topk(scored: DataFrame, k: int, id_col: str, query_id_col: str) -> Dat
 
 MAX_ENGINE_QUERIES = 1_048_576
 
+# Driver/executor byte ceiling for the collected query matrix (ADVICE r5:
+# a row-count-only guard lets nq x dim x 8 grow with dim — 512 MB at dim 64
+# but 8 GB at dim 1024, past any sane RPC/task-serialization budget). The
+# row cap and the byte cap BOTH apply; the effective row limit is
+# min(MAX_ENGINE_QUERIES, MAX_ENGINE_QUERY_BYTES // (dim * 8)) and is
+# enforced BEFORE the collect, so an oversized query set fails fast instead
+# of OOMing the driver first.
+MAX_ENGINE_QUERY_BYTES = 512 * 1024 * 1024
+
 # Executor-side query-block width: kernels score (and mask) QUERY_BLOCK
 # queries at a time, so per-Arrow-batch temporaries are O(batch_rows x
 # QUERY_BLOCK) regardless of the total query count (ADVICE r4 / VERDICT r4
@@ -124,20 +133,25 @@ def _query_matrix(queries: DataFrame, query_id_col: str, vec_col: str, dim: int)
     embedding_near_dup_pairs."""
     import numpy as np
 
+    # rows AND bytes gate (ADVICE r5): the byte cap keeps the collected
+    # matrix inside the driver/broadcast budget at ANY dim
+    max_rows = min(MAX_ENGINE_QUERIES, MAX_ENGINE_QUERY_BYTES // max(dim * 8, 1))
     # Arrow-batched fetch (toPandas), not collect(): Row objects carry ~3x
     # the payload in Python overhead, which at the 1M-query cap is the
     # difference between ~0.5 GB and ~1.5 GB of driver memory
     pdf = (
         queries.select(F.col(query_id_col).alias("__qid"),
                        F.col(vec_col).cast("array<double>").alias("__qv"))
-        .limit(MAX_ENGINE_QUERIES + 1)
+        .limit(max_rows + 1)
         .toPandas()
     )
-    if len(pdf) > MAX_ENGINE_QUERIES:
+    if len(pdf) > max_rows:
         raise ValueError(
-            f"matrix top-k engine: query set exceeds {MAX_ENGINE_QUERIES} rows "
-            "— the query matrix lives on the driver and in every kernel "
-            "closure; use knn_join for corpus-vs-corpus top-k, or "
+            f"matrix top-k engine: query set exceeds {max_rows} rows "
+            f"(= min(row cap {MAX_ENGINE_QUERIES}, byte cap "
+            f"{MAX_ENGINE_QUERY_BYTES} / (dim {dim} * 8))) — the query "
+            "matrix lives on the driver and ships to executors as one "
+            "broadcast; use knn_join for corpus-vs-corpus top-k, or "
             "embedding_near_dup_pairs for threshold pairs"
         )
     qids, vecs, ok = [], [], []
@@ -220,9 +234,20 @@ def _matrix_topk(
         ).where(F.lit(False))
     Qn = np.sqrt(np.add.reduce(Q * Q, axis=1))
 
+    # Ship the query matrix as ONE Spark broadcast instead of capturing it
+    # in the kernel closure (ADVICE r5): a closure rides inside every task's
+    # serialized command (driver -> scheduler -> each task, bounded by
+    # spark.rpc.message.maxSize), while a broadcast is torrent-distributed
+    # once per executor and shared by its tasks. At the byte-gated maximum
+    # (512 MB) the closure path would not even serialize. Masker query-side
+    # arrays (nq x tables ints) stay in their closures — they are built by
+    # callers and are ~dim/tables times smaller than Q.
+    bc = spark.sparkContext.broadcast((qids, Q, Qn))
+
     src = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
 
     def kernel(batches):
+        qids, Q, Qn = bc.value
         buf_ids = [[] for _ in range(nq)]
         buf_cos = [[] for _ in range(nq)]
         buf_n = [0] * nq
