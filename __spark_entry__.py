@@ -28,7 +28,7 @@ from pitfeat.ops import similarity as SIM
 from pitfeat.ops import text as TX
 from pitfeat.ops import windows as W
 from pitfeat.ops.asof import asof_join
-from pitfeat.ops.ewma import ewma
+from pitfeat.ops.ewma import ewma, ewma_time
 from pitfeat.ops.normalize import (
     compute_minmax,
     compute_moments,
@@ -965,6 +965,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a9_zscore graduated to the cap (zero driver rows before r6); the four
     # displaced entries below are all driver-green r1-r5
     q["j1_asof_forward"] = _asof_query("cogroup", direction="forward")
+    # r6: merge/nearest — the strategy x direction matrix is now complete
+    q["j1_merge_nearest"] = _asof_query("merge", direction="nearest")
+
+    # r6: W12 event-time EWMA — decay by elapsed time (halflife 3600 s),
+    # pandas ewm(halflife, times, adjust=True) semantics; the CTE oracle
+    # replicates the kernel's float ops bit-for-bit (see oracle_sql)
+    def w12(spark, sf):
+        ev = _events(spark, sf).select("event_id", "user_id", "ts", "value")
+        out = ewma_time(
+            ev, "value", 3600.0, key="user_id", ts="ts", order_extra=("event_id",)
+        )
+        return out.select(
+            "event_id", "user_id", _us("ts").alias("ts_us"), "value", "value_ewma"
+        )
+
+    q["w12_ewma_time"] = w12
     q["a6_rollup"] = a6r
     q["o3_union"] = o3
     q["o2_topk_global"] = o2g
@@ -1093,6 +1109,42 @@ def oracle_sql() -> dict[str, str]:
     # prev+next fill)
     o["j1_window_forward"] = _asof_oracle("<=")
     o["j1_window_nearest"] = o["j1_asof_nearest"]
+    # r6: merge-strategy nearest (the last strategy x direction matrix
+    # hole) — identical semantics, identical oracle
+    o["j1_merge_nearest"] = o["j1_asof_nearest"]
+
+    # W12: event-time EWMA, adjust=True times semantics. Like w11, the
+    # oracle is a recursive CTE replicating the kernel's EXACT float ops
+    # (pandas' times-ewm order, verified bitwise in the probe and pinned by
+    # tests/test_ewma.py): delta = (float64(t_i ns) - float64(t_prev ns))
+    # / float64(halflife ns) — note ns cast to DOUBLE BEFORE differencing,
+    # pandas' _calculate_deltas order — then w = r.w * power(0.5, delta),
+    # y = (w*y + x)/(w + 1) with pandas' equal-value short-circuit, and
+    # w += 1. halflife 3600 s = 3.6e12 ns.
+    o["w12_ewma_time"] = """
+        WITH RECURSIVE o AS (
+            SELECT event_id, user_id, ts, value,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events
+        ), r AS (
+            SELECT event_id, user_id, ts, value, rn,
+                   CAST(value AS DOUBLE) AS value_ewma, CAST(1.0 AS DOUBLE) AS w
+            FROM o WHERE rn = 1
+            UNION ALL
+            SELECT o.event_id, o.user_id, o.ts, o.value, o.rn,
+                   CASE WHEN r.value_ewma = o.value THEN r.value_ewma
+                        ELSE ((r.w * power(0.5, (CAST(epoch_us(o.ts) * 1000 AS DOUBLE)
+                                 - CAST(epoch_us(r.ts) * 1000 AS DOUBLE)) / 3600000000000.0))
+                               * r.value_ewma + o.value)
+                             / ((r.w * power(0.5, (CAST(epoch_us(o.ts) * 1000 AS DOUBLE)
+                                 - CAST(epoch_us(r.ts) * 1000 AS DOUBLE)) / 3600000000000.0))
+                                + 1.0) END,
+                   (r.w * power(0.5, (CAST(epoch_us(o.ts) * 1000 AS DOUBLE)
+                        - CAST(epoch_us(r.ts) * 1000 AS DOUBLE)) / 3600000000000.0)) + 1.0
+            FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+        )
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, value, value_ewma FROM r
+    """
     # tolerance: backward match, then the whole snapshot row goes NULL when
     # staler than 30 days (ts - snap_ts > tol) — the engine's staleness rule
     o["j1_asof_tolerance"] = f"""

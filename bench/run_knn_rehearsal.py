@@ -67,10 +67,11 @@ def main(argv=None):
         dim=args.dim, max_bucket=args.max_bucket,
         max_probers=args.max_probers,
     )
-    n_rows = out.agg(
+    agg_row = out.agg(
         F.count(F.lit(1)).alias("n"),
         F.expr("bit_xor(xxhash64(struct(vec_id, nbr_id, cosine, rank)))").alias("chk"),
-    ).collect()[0]["n"]
+    ).collect()[0]
+    n_rows, out_chk = agg_row["n"], agg_row["chk"]
     wall = time.perf_counter() - t0
 
     # planted-twin check: top-1 neighbor of each twin/original is its partner
@@ -97,6 +98,9 @@ def main(argv=None):
                 "k": args.k,
                 "wall_s": round(wall, 2),
                 "rows_out": n_rows,
+                # determinism evidence (ADVICE r5: was computed but never
+                # reported): identical config + fixture => identical chk
+                "out_checksum": int(out_chk),
                 "rows_per_sec": round((args.n + args.twins) / wall, 1),
                 "twin_pairs": args.twins,
                 "twin_pairs_top1_both_ways": hits,

@@ -16,7 +16,7 @@ See SURVEY.md for the blueprint and BASELINE.md for the performance contract.
 from pitfeat.config import PitfeatConfig
 from pitfeat.ops.asof import asof_join
 from pitfeat.ops.dedup import exact_dedup, minhash_lsh_pairs, simhash_near_pairs
-from pitfeat.ops.ewma import ewma
+from pitfeat.ops.ewma import ewma, ewma_time
 from pitfeat.ops.normalize import (
     compute_moments,
     compute_quantiles,
@@ -42,6 +42,7 @@ __all__ = [
     "ivf_topk",
     "knn_join",
     "ewma",
+    "ewma_time",
     "compute_moments",
     "normalize_zscore",
     "compute_quantiles",

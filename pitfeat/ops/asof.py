@@ -40,16 +40,17 @@ Strategy x direction support matrix (ValueError outside it):
     strategy   backward  forward  nearest
     =========  ========  =======  =======
     window     yes       yes      yes
-    merge      yes       yes      no
+    merge      yes       yes      yes
     cogroup    yes       yes      yes
     =========  ========  =======  =======
 
     (merge/forward and window/forward: descending-ts variants of the same
     fills; window/nearest: one sorted pass computing both the preceding and
     following snapshot via doubled-tagged right rows, closer one chosen
-    row-locally — see _asof_window_nearest. merge/nearest stays
-    unimplemented: the streaming kernel would need a lookahead scan; use
-    window (skew-safe, spill-backed sort) or cogroup.)
+    row-locally — see _asof_window_nearest; merge/nearest (r6, the last
+    matrix hole): the backward pass's output rides as left payload through
+    the forward pass — two bounded-memory sorted streams, then the same
+    row-local closer-one choice — see _asof_merge_nearest.)
 
 Tie rule: with ``allow_exact=True`` an equal-timestamp snapshot matches
 (searchsorted ``side='right'``; merge sorts right-before-left at equal ts).
@@ -185,13 +186,12 @@ def asof_join(
             direction=direction,
         )
     if strategy == "merge":
-        if direction not in ("backward", "forward"):
-            raise ValueError(
-                "merge strategy implements backward and forward directions "
-                "(nearest needs both scans — use cogroup)"
-            )
         # no salting path needed: merge's memory is bounded by the Arrow
         # batch size regardless of key heat (see module docstring)
+        if direction == "nearest":
+            return _asof_merge_nearest(
+                left, right, on, left_ts, right_ts, allow_exact, tolerance_s
+            )
         return _asof_merge(
             left, right, on, left_ts, right_ts, allow_exact, tolerance_s, direction
         )
@@ -785,3 +785,69 @@ def _asof_merge(
                 yield res[out_names]
 
     return staged.mapInPandas(stream, schema=out_schema)
+
+
+def _asof_merge_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    allow_exact: bool,
+    tolerance_s: float | None,
+) -> DataFrame:
+    """Bounded-memory nearest (r6 — the last strategy x direction hole):
+    two chained ``_asof_merge`` passes sharing the streaming kernel, then
+    the window-nearest row-local choice.
+
+    The backward pass attaches the latest-preceding candidate under
+    ``__b_*`` names; its OUTPUT is then the left side of the forward pass,
+    which attaches the earliest-following candidate under ``__f_*`` names
+    (the ``__b_*`` columns ride through as inert left payload). A final
+    pure-column projection picks the closer candidate row-atomically —
+    equidistant -> preceding, the same rule as _asof_window_nearest and the
+    cogroup kernel (pandas' rule), pinned by the randomized three-strategy
+    parity test. Each pass is the merge kernel itself, so the hot-key story
+    is unchanged: worker memory stays O(Arrow batch + 1 carried row) per
+    pass regardless of key heat — this is the nearest-direction path a
+    pathologically hot key could not take through window (single-task sort
+    pressure is spill-backed there, but cogroup would OOM).
+
+    allow_exact/tolerance need no extra handling: each leg applies its own
+    exactness tie rule and staleness filter, so an equal-ts snapshot
+    matches backward at distance 0 (and wins the <= tie) exactly when
+    ``allow_exact``, and a candidate past tolerance arrives here already
+    nulled. NULL-ts left rows match neither leg (asc nulls-first /
+    desc-nulls-first sorts put them before any snapshot in stream order).
+    """
+    right_val_cols = [f.name for f in right.schema.fields if f.name != on]
+    left_cols = [f.name for f in left.schema.fields]
+    out_schema = _result_schema(left, right, on, right_ts)
+
+    b_right = right.select(
+        F.col(on), *[F.col(c).alias("__b_" + c) for c in right_val_cols]
+    )
+    res_b = _asof_merge(
+        left, b_right, on, left_ts, "__b_" + right_ts, allow_exact, tolerance_s,
+        "backward",
+    )
+    f_right = right.select(
+        F.col(on), *[F.col(c).alias("__f_" + c) for c in right_val_cols]
+    )
+    both = _asof_merge(
+        res_b, f_right, on, left_ts, "__f_" + right_ts, allow_exact, tolerance_s,
+        "forward",
+    )
+
+    have_b = F.col("__b_" + right_ts).isNotNull()
+    have_f = F.col("__f_" + right_ts).isNotNull()
+    lt_us = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    dp = lt_us - F.unix_micros(F.col("__b_" + right_ts).cast("timestamp"))
+    dn = F.unix_micros(F.col("__f_" + right_ts).cast("timestamp")) - lt_us
+    pick_b = have_b & (~have_f | (dp <= dn))
+    chosen = [
+        F.when(pick_b, F.col("__b_" + c)).when(have_f, F.col("__f_" + c)).alias(c)
+        for c in right_val_cols
+    ]
+    out = both.select(*[F.col(c) for c in left_cols], *chosen)
+    return out.select(*[f.name for f in out_schema.fields])

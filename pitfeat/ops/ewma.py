@@ -115,3 +115,134 @@ def ewma(
             yield res[out_names]
 
     return staged.mapInPandas(stream, schema=out_schema)
+
+
+def ewma_time(
+    df: DataFrame,
+    col: str,
+    halflife_s: float,
+    key: str = "conv_id",
+    ts: str = "ts",
+    order_extra: tuple[str, ...] = (),
+    out_col: str | None = None,
+) -> DataFrame:
+    """W12 (r6): event-time EWMA — decay by ELAPSED TIME, not row count.
+
+    The row-hop ``ewma`` weights every observation step equally, which is
+    wrong for irregularly-spaced transcripts: a turn 2 hours after the last
+    one should barely remember it, a turn 2 seconds later almost fully.
+    This op computes pandas' time-aware semantics —
+    ``ewm(halflife=Timedelta(seconds=halflife_s), times=ts, adjust=True)``
+    — exactly: the weight of observation j at row i is
+    ``0.5 ** ((t_i - t_j) / halflife)`` and the output is the weighted mean.
+
+    Spark mapping: the same repartitionByRange + sortWithinPartitions + ONE
+    mapInPandas staging as ``ewma``. Runs that start inside an Arrow batch
+    take pandas' C-vectorized times-ewm kernel; the (at most one) run that
+    continues across a batch boundary runs an exact scalar replica of that
+    kernel — BIT-IDENTICAL to the vectorized path (the replica reproduces
+    pandas' op order: float64-cast ns deltas, ``old_wt *= 0.5**delta``,
+    the equal-value short-circuit, ``old_wt += 1``; pinned by the
+    batch-boundary parity test), so output is invariant to partitioning
+    and Arrow batch size. Carried state is THREE scalars per boundary key
+    (weighted mean, accumulated weight, last valid event-time) — the same
+    O(1) bounded-memory story as ``ewma``, with one honest caveat: a key
+    spanning B batches pays the scalar recurrence on its continuation rows
+    (still vectorized-C for every fresh run), so a pathologically hot key
+    is CPU-heavier here than in the row-hop kernel.
+
+    Null semantics: rows with null/NaN ``col`` OR null ``ts`` are inert —
+    null output, state untouched — and the next valid row decays from the
+    LAST VALID row's event time. (Equivalent to pandas on the valid
+    subsequence: skipping a row's per-step decay and decaying once over
+    the total gap are the same product ``0.5**(a+b) = 0.5**a * 0.5**b``
+    up to the float ops pandas itself performs on the valid rows only.)
+    """
+    if not halflife_s > 0:
+        raise ValueError(f"ewma_time: halflife_s must be > 0, got {halflife_s}")
+    if col not in df.columns:
+        raise ValueError(f"ewma_time: no such column {col!r}")
+    out_col = out_col or f"{col}_ewma"
+    if out_col in df.columns:
+        raise ValueError(f"ewma_time: output column {out_col!r} already exists")
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType(), True)]
+    )
+    out_names = [f.name for f in out_schema.fields]
+    hl_ns = float(pd.Timedelta(seconds=halflife_s).value)
+    hl_td = pd.Timedelta(seconds=halflife_s)
+
+    staged = df.repartitionByRange(F.col(key)).sortWithinPartitions(
+        F.col(key).asc(),
+        F.col(ts).asc(),
+        *[F.col(c).asc() for c in order_extra],
+    )
+
+    def _loop(xv: np.ndarray, tf: np.ndarray, st: tuple | None):
+        """Exact scalar replica of pandas' adjust=True times-ewm kernel,
+        optionally continued from state (w_avg, old_wt, t_prev_ns)."""
+        n = len(xv)
+        y = np.empty(n)
+        if st is None:
+            w_avg, old_wt, t_prev = xv[0], 1.0, tf[0]
+            y[0] = w_avg
+            start = 1
+        else:
+            w_avg, old_wt, t_prev = st
+            start = 0
+        for i in range(start, n):
+            old_wt *= 0.5 ** ((tf[i] - t_prev) / hl_ns)
+            cur = xv[i]
+            if w_avg != cur:
+                w_avg = ((old_wt * w_avg) + cur) / (old_wt + 1.0)
+            old_wt += 1.0
+            t_prev = tf[i]
+            y[i] = w_avg
+        return y, (w_avg, old_wt, t_prev)
+
+    def stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.reset_index(drop=True)
+            x = pd.to_numeric(pdf[col], errors="coerce").astype(float)
+            tv = pd.to_datetime(pdf[ts])
+            try:
+                tv = tv.dt.tz_localize(None)
+            except TypeError:
+                pass
+            t64 = tv.values.astype("datetime64[ns]")
+            # float64 cast of absolute ns BEFORE differencing — pandas'
+            # _calculate_deltas order, required for bit-parity
+            tf_all = t64.view("int64").astype(np.float64)
+            valid_all = x.notna().to_numpy() & ~np.isnat(t64)
+            y = np.full(len(pdf), np.nan)
+            last_key = pdf[key].iloc[-1]
+            for k, idx in pdf.groupby(key, sort=False).indices.items():
+                vidx = idx[valid_all[idx]]
+                if len(vidx) == 0:
+                    continue  # state (if any) persists untouched
+                xs = x.to_numpy()[vidx]
+                if k in state or k == last_key:
+                    # continuation, or the one run whose state the next
+                    # batch may need: exact scalar kernel (yields old_wt,
+                    # which the vectorized path does not expose)
+                    yv, st = _loop(xs, tf_all[vidx], state.get(k))
+                    state[k] = st
+                else:
+                    # fresh interior run: pandas' C kernel
+                    yv = (
+                        pd.Series(xs)
+                        .ewm(halflife=hl_td, times=t64[vidx], adjust=True)
+                        .mean()
+                        .to_numpy()
+                    )
+                y[vidx] = yv
+            state = {last_key: state[last_key]} if last_key in state else {}
+            res = pdf.copy()
+            res[out_col] = y
+            yield res[out_names]
+
+    return staged.mapInPandas(stream, schema=out_schema)

@@ -185,8 +185,11 @@ def compute_quantiles(
     fn = "percentile" if exact else "approx_percentile"
     arr = ", ".join(repr(float(p)) for p in probs)
     # NaN would sort greatest and shift every cutpoint — exclude it, like
-    # compute_minmax / compute_moments do
-    clean = f"CASE WHEN NOT isnan({col}) THEN {col} END"
+    # compute_minmax / compute_moments do. Backtick-quote the identifier
+    # (ADVICE r5): a raw interpolation broke on names with spaces/dots/
+    # hyphens, unlike the rest of this module which goes through F.col.
+    ident = "`" + col.replace("`", "``") + "`"
+    clean = f"CASE WHEN NOT isnan({ident}) THEN {ident} END"
     row = df.select(
         F.expr(f"{fn}({clean}, array({arr}))").alias("__q")
     ).collect()[0]

@@ -336,7 +336,8 @@ def test_window_nearest_matches_pandas(
 
 
 def test_window_nearest_equals_cogroup_randomized(spark):
-    """window/nearest == cogroup/nearest on randomized frames: equal-ts
+    """window/nearest AND merge/nearest (r6 — the last strategy x direction
+    matrix hole) == cogroup/nearest on randomized frames: equal-ts
     duplicate right rows (greatest-tuple pre-dedup), equidistant pairs
     (prefer preceding), strict exactness, tolerance, null left timestamps
     (must stay unmatched — the next-frame would otherwise hand them the
@@ -366,17 +367,18 @@ def test_window_nearest_equals_cogroup_randomized(spark):
     )
     for allow_exact in (True, False):
         for tol in (None, 90.0):
-            w = _collect_sorted(
-                asof_join(left, right, allow_exact=allow_exact, tolerance_s=tol,
-                          strategy="window", direction="nearest")
-            )
             c = _collect_sorted(
                 asof_join(left, right, allow_exact=allow_exact, tolerance_s=tol,
                           strategy="cogroup", direction="nearest")
             )
-            pd.testing.assert_frame_equal(w, c)
-            nulls = w[w["ts"].isna()]
-            assert len(nulls) > 0 and nulls["snap_ts"].isna().all()
+            for strategy in ("window", "merge"):
+                w = _collect_sorted(
+                    asof_join(left, right, allow_exact=allow_exact, tolerance_s=tol,
+                              strategy=strategy, direction="nearest")
+                )
+                pd.testing.assert_frame_equal(w, c)
+                nulls = w[w["ts"].isna()]
+                assert len(nulls) > 0 and nulls["snap_ts"].isna().all()
     # salting composes (doubled right rows replicate xB)
     base = _collect_sorted(
         asof_join(left, right, strategy="window", direction="nearest")
@@ -385,3 +387,15 @@ def test_window_nearest_equals_cogroup_randomized(spark):
         asof_join(left, right, strategy="window", direction="nearest", salt_buckets=4)
     )
     pd.testing.assert_frame_equal(base, salted)
+
+
+def test_merge_nearest_matches_pandas(
+    transcripts, snapshots, transcripts_pd, snapshots_pd
+):
+    """merge/nearest (two chained bounded-memory merge passes, r6) against
+    the pandas merge_asof nearest oracle on the standard fixture."""
+    out = _collect_sorted(
+        asof_join(transcripts, snapshots, strategy="merge", direction="nearest")
+    )
+    oracle = asof_oracle(transcripts_pd, snapshots_pd, direction="nearest")
+    _assert_matches_oracle(out, oracle)
