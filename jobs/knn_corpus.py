@@ -118,11 +118,11 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--out", default=None, help="output parquet dir; omit to only count")
-    ap.add_argument("--method", choices=["lsh", "ivf", "exact"], default="lsh")
+    ap.add_argument("--method", choices=["lsh", "ivf", "exact"], default="ivf")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--id-col", default="vec_id")
     ap.add_argument("--vec-col", default="embedding")
-    ap.add_argument("--nbits", type=int, default=8)
+    ap.add_argument("--nbits", type=int, default=2)
     ap.add_argument("--tables", type=int, default=8)
     ap.add_argument("--nlist", type=int, default=16)
     ap.add_argument("--nprobe", type=int, default=4)

@@ -980,10 +980,10 @@ def knn_join(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    method: str = "lsh",
+    method: str = "ivf",
     dim: int | None = None,
     seed: int = 42,
-    nbits: int = 8,
+    nbits: int = 2,
     tables: int = 8,
     nlist: int = 16,
     nprobe: int = 4,
@@ -1000,15 +1000,26 @@ def knn_join(
 
     Methods:
 
-    - ``lsh`` (default, the scale path): multi-table hyperplane buckets
+    - ``ivf`` (DEFAULT — VERDICT r5 #5): data-adaptive lists give far
+      better corpus-KNN recall than data-oblivious hyperplanes at
+      comparable candidate cost (measured on the 16-center clustered
+      fixture: IVF defaults 1.0 recall@10 vs 0.40 for the old lsh
+      nbits=8 default), and the default is what a caller who specifies
+      nothing gets — it must not be the silently-bad configuration.
+    - ``lsh``: multi-table hyperplane buckets
       (_table_sigs_udf — the s2/s3 math); ONE groupBy(table, bucket) +
       applyInPandas kernel scores each bucket's members against each other
       and keeps per-member top-k in-kernel; global rank merges the <= n x
-      tables x k candidates. Never all-pairs; recall < 1.0 by design (raise
-      ``tables``). Buckets above ``max_bucket`` are dropped before the
-      kernel (the O(m^2 x dim) guard — members still pair via their other
-      tables); the kernel is O(m^2 x dim) per bucket, ~1 s at the 4096
-      default with dim 64.
+      tables x k candidates. Never all-pairs; recall < 1.0 by design.
+      Corpus-KNN needs COARSE buckets — every row is a query, so a row
+      whose true neighbors land outside its few buckets has no second
+      chance, unlike the fixed-query ops where only explicit queries pay:
+      measured recall 0.99 at nbits=2 vs 0.40 at nbits=8 on the clustered
+      fixture, hence the knn-path default ``nbits=2`` (s2/s3 keep their
+      own finer defaults). Buckets above ``max_bucket`` are dropped before
+      the kernel (the O(m^2 x dim) guard — members still pair via their
+      other tables); the kernel is O(m^2 x dim) per bucket, ~1 s at the
+      4096 default with dim 64.
     - ``ivf``: members assigned to their nearest centroid's list, probers
       exploded to their ``nprobe`` nearest lists, cogrouped per list —
       candidates are ~nprobe/nlist of the corpus per row, adapting to data
