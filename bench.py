@@ -37,11 +37,13 @@ HEADLINE = [
     "flagship_pit_features",
     "j1_asof_backward",
     "j1_asof_merge",
+    "j1_merge_nearest",
     "j2_asof_salted",
     "j6_prev_session",
     "w3_rolling",
     "w9_sessionize",
     "w11_ewma",
+    "w12_ewma_time",
     "a1_grouped_agg",
     "a4_minmax_normalize",
     "d2_minhash_lsh",

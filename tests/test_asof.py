@@ -230,7 +230,7 @@ def test_asof_default_strategy_documented_and_pinned():
     assert inspect.signature(A.asof_join).parameters["strategy"].default == "window"
     assert "``window`` (DEFAULT" in A.__doc__
     for line in ("window     yes       yes      yes",
-                 "merge      yes       yes      no",
+                 "merge      yes       yes      yes",  # r6: matrix complete
                  "cogroup    yes       yes      yes"):
         assert line in A.__doc__
 
