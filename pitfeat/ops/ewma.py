@@ -117,6 +117,37 @@ def ewma(
     return staged.mapInPandas(stream, schema=out_schema)
 
 
+def _ewma_time_continue(
+    xv: np.ndarray, tf: np.ndarray, hl_ns: float, st: tuple | None
+):
+    """Exact scalar replica of pandas' adjust=True times-ewm kernel,
+    optionally continued from state ``(w_avg, old_wt, t_prev_ns)``.
+
+    Reproduces pandas' op order bit-for-bit (pinned by the batch-boundary
+    and streaming==batch tests): ns timestamps already float64-cast by the
+    caller, ``old_wt *= 0.5 ** delta``, the equal-value short-circuit, then
+    ``old_wt += 1``. Shared by the batch ``ewma_time`` kernel and the
+    streaming ``stream_ewma_time`` state op."""
+    n = len(xv)
+    y = np.empty(n)
+    if st is None:
+        w_avg, old_wt, t_prev = xv[0], 1.0, tf[0]
+        y[0] = w_avg
+        start = 1
+    else:
+        w_avg, old_wt, t_prev = st
+        start = 0
+    for i in range(start, n):
+        old_wt *= 0.5 ** ((tf[i] - t_prev) / hl_ns)
+        cur = xv[i]
+        if w_avg != cur:
+            w_avg = ((old_wt * w_avg) + cur) / (old_wt + 1.0)
+        old_wt += 1.0
+        t_prev = tf[i]
+        y[i] = w_avg
+    return y, (w_avg, old_wt, t_prev)
+
+
 def ewma_time(
     df: DataFrame,
     col: str,
@@ -179,28 +210,6 @@ def ewma_time(
         *[F.col(c).asc() for c in order_extra],
     )
 
-    def _loop(xv: np.ndarray, tf: np.ndarray, st: tuple | None):
-        """Exact scalar replica of pandas' adjust=True times-ewm kernel,
-        optionally continued from state (w_avg, old_wt, t_prev_ns)."""
-        n = len(xv)
-        y = np.empty(n)
-        if st is None:
-            w_avg, old_wt, t_prev = xv[0], 1.0, tf[0]
-            y[0] = w_avg
-            start = 1
-        else:
-            w_avg, old_wt, t_prev = st
-            start = 0
-        for i in range(start, n):
-            old_wt *= 0.5 ** ((tf[i] - t_prev) / hl_ns)
-            cur = xv[i]
-            if w_avg != cur:
-                w_avg = ((old_wt * w_avg) + cur) / (old_wt + 1.0)
-            old_wt += 1.0
-            t_prev = tf[i]
-            y[i] = w_avg
-        return y, (w_avg, old_wt, t_prev)
-
     def stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         state: dict = {}
         for pdf in batches:
@@ -229,7 +238,9 @@ def ewma_time(
                     # continuation, or the one run whose state the next
                     # batch may need: exact scalar kernel (yields old_wt,
                     # which the vectorized path does not expose)
-                    yv, st = _loop(xs, tf_all[vidx], state.get(k))
+                    yv, st = _ewma_time_continue(
+                        xs, tf_all[vidx], hl_ns, state.get(k)
+                    )
                     state[k] = st
                 else:
                     # fresh interior run: pandas' C kernel

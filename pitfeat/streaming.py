@@ -381,3 +381,89 @@ def stream_ewma(
         col,
         out_col,
     )
+
+
+def stream_ewma_time(
+    turns: DataFrame,
+    col: str,
+    halflife_s: float,
+    key: str = "conv_id",
+    ts: str = "ts",
+    order_extra: tuple[str, ...] = ("turn_idx",),
+    out_col: str | None = None,
+) -> DataFrame:
+    """W12's streaming form: per-key EVENT-TIME EWMA (decay by elapsed
+    time, pandas ``ewm(halflife, times, adjust=True)`` semantics) as a
+    custom stateful operator; state = THREE doubles per live key (weighted
+    mean, accumulated weight, last valid event-time ns).
+
+    Shares the exact scalar kernel replica with the batch op
+    (``pitfeat.ops.ewma._ewma_time_continue``), so with per-key
+    time-ordered ingestion the output is BIT-IDENTICAL to batch
+    ``ewma_time`` — pinned by the stream==batch test. Out-of-order late
+    rows smooth in arrival order (append-mode semantics, same caveat as
+    ``stream_ewma``); rows with null value or null ts are inert (null out,
+    state untouched). No watermark needed — state never grows with
+    history."""
+    import numpy as np
+    import pandas as pd
+
+    from pitfeat.ops.ewma import _ewma_time_continue
+
+    if not halflife_s > 0:
+        raise ValueError(
+            f"stream_ewma_time: halflife_s must be > 0, got {halflife_s}"
+        )
+    out_col = out_col or f"{col}_ewma"
+    hl_ns = float(pd.Timedelta(seconds=halflife_s).value)
+    extras = list(order_extra)
+    types = {f.name: f.dataType.simpleString() for f in turns.schema.fields}
+    src = turns.select(
+        F.col(key),
+        F.unix_micros(F.col(ts).cast("timestamp")).alias("t_us"),
+        *[F.col(c) for c in extras],
+        F.col(col).cast("double").alias(col),
+    )
+    out_schema = (
+        f"{key} {types[key]}, t_us long, "
+        + ", ".join(f"{c} {types[c]}" for c in extras)
+        + f", {col} double, {out_col} double"
+    )
+
+    def fn(group_key, pdfs, state):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["t_us"] + extras).reset_index(drop=True)
+        x = pdf[col]
+        # micro-batch ns as float64 — µs * 1000 is the exact int the batch
+        # path derives from the timestamp, so the float casts agree
+        t_us = pdf["t_us"]
+        valid = (x.notna() & t_us.notna()).to_numpy()
+        y = np.full(len(pdf), np.nan)
+        st = tuple(state.get) if state.exists else None
+        if valid.any():
+            vidx = np.flatnonzero(valid)
+            tf = (t_us.iloc[vidx].to_numpy().astype("int64") * 1000).astype(
+                np.float64
+            )
+            yv, st2 = _ewma_time_continue(
+                x.iloc[vidx].to_numpy().astype(float), tf, hl_ns, st
+            )
+            y[vidx] = yv
+            state.update((float(st2[0]), float(st2[1]), float(st2[2])))
+        pdf[out_col] = y
+        yield pdf
+
+    out = src.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="y double, w double, t_ns double",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    return out.select(
+        key,
+        *extras,
+        F.timestamp_micros(F.col("t_us")).alias(ts),
+        col,
+        out_col,
+    )

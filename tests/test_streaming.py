@@ -413,3 +413,62 @@ def test_stream_ewma_equals_batch_across_restart(spark, transcripts, tmp_path):
     ).all()
     pd.testing.assert_series_equal(got["ts"], want["ts"], check_names=False)
     np.testing.assert_array_equal(got["x"].to_numpy(), want["x"].to_numpy())
+
+
+def test_stream_ewma_time_equals_batch_across_restart(spark, transcripts, tmp_path):
+    """W12 streaming leg (r6): event-time EWMA state (three doubles —
+    weighted mean, accumulated weight, last event-time) must carry across
+    micro-batches AND a checkpoint restart, continuing the decay over the
+    REAL elapsed time between a conv's run-1 prefix and its run-2 suffix.
+    Same prefix/restart protocol as the W11 test; union must equal batch
+    pitfeat.ewma_time bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pitfeat.ops.ewma import ewma_time
+    from pitfeat.streaming import stream_ewma_time
+
+    base = transcripts.withColumn("x", F.length("text").cast("double")).select(
+        "conv_id", "turn_idx", "ts", "x"
+    )
+    tdir = str(tmp_path / "turns")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    base.where(F.col("turn_idx") < 10).write.mode("overwrite").parquet(tdir)
+
+    def run_once():
+        src = spark.readStream.schema(spark.read.parquet(tdir).schema).parquet(tdir)
+        q = (
+            stream_ewma_time(src, "x", 120.0)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        return spark.read.parquet(out)
+
+    n1 = run_once().count()
+    assert n1 == base.where(F.col("turn_idx") < 10).count()
+    base.where(F.col("turn_idx") >= 10).write.mode("append").parquet(tdir)
+    got = (
+        run_once()
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        ewma_time(base, "x", 120.0, key="conv_id", ts="ts", order_extra=("turn_idx",))
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    nan = want["x_ewma"].isna().to_numpy()
+    assert (got["x_ewma"].isna().to_numpy() == nan).all()
+    assert (
+        got["x_ewma"].to_numpy()[~nan] == want["x_ewma"].to_numpy()[~nan]
+    ).all()
+    pd.testing.assert_series_equal(got["ts"], want["ts"], check_names=False)
