@@ -139,10 +139,13 @@ def main():
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--skip-window", action="store_true",
                     help="merge strategy only (skip the window-checksum cross-check)")
-    ap.add_argument("--op", choices=["asof", "ewma"], default="asof",
-                    help="kernel to stress: the as-of join strategies, or the "
+    ap.add_argument("--op", choices=["asof", "ewma", "ewma_time"], default="asof",
+                    help="kernel to stress: the as-of join strategies, the "
                     "W11 EWMA recurrence (same sorted-stream shape, state = "
-                    "one scalar per boundary key)")
+                    "one scalar per boundary key), or the W12 event-time "
+                    "EWMA (r6) — whose hot-key continuation rows pay the "
+                    "exact scalar kernel, the documented CPU caveat this "
+                    "leg measures")
     args = ap.parse_args()
 
     spark = (
@@ -165,7 +168,7 @@ def main():
         "turns": args.turns, "hot_frac": args.hot_frac, "cpus": args.cpus,
         "op": args.op,
     }
-    if args.op == "ewma":
+    if args.op in ("ewma", "ewma_time"):
         # Deterministic value column (pure fn of (conv_id, turn_idx), seed
         # literal FIRST — multi-arg xxhash64 folds left-to-right).
         with_x = turns.withColumn(
@@ -173,12 +176,17 @@ def main():
             F.pmod(F.xxhash64(F.lit(7), "conv_id", "turn_idx"), F.lit(10_000))
             / 1000.0,
         )
+        if args.op == "ewma_time":
+            from pitfeat.ops.ewma import ewma_time
+
+            op_df = ewma_time(with_x, "x", halflife_s=3600.0, key="conv_id",
+                              ts="ts", order_extra=("turn_idx",))
+        else:
+            op_df = ewma(with_x, "x", alpha=0.05, key="conv_id", ts="ts",
+                         order_extra=("turn_idx",))
         t0 = time.perf_counter()
-        n, chk = force(
-            ewma(with_x, "x", alpha=0.05, key="conv_id", ts="ts",
-                 order_extra=("turn_idx",))
-        )
-        result["ewma"] = {
+        n, chk = force(op_df)
+        result[args.op] = {
             "sec": round(time.perf_counter() - t0, 1),
             "rows": n,
             "checksum": chk,

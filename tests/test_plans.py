@@ -153,3 +153,19 @@ def test_ewma_plan_single_pass(spark):
     assert "rangepartitioning" in plan, plan[:800]
     assert "BatchEvalPython" not in plan
     assert "Window" not in plan
+
+
+def test_ewma_time_plan_single_pass(spark):
+    """W12 ewma_time shares W11's plan shape exactly: one MapInPandas, one
+    range exchange, no row-wise Python, no window fallback."""
+    from pitfeat.ops.ewma import ewma_time
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(
+        ewma_time(ev, "value", 3600.0, key="user_id", ts="ts", order_extra=("event_id",))
+    )
+    assert plan.count("MapInPandas") == 1, plan[:800]
+    assert plan.count("Exchange") == 1, plan[:800]
+    assert "rangepartitioning" in plan, plan[:800]
+    assert "BatchEvalPython" not in plan
+    assert "Window" not in plan
