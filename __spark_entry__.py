@@ -981,6 +981,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["w12_ewma_time"] = w12
+
+    # r6: connected components (near-dup cluster ids) over a DETERMINISTIC
+    # chain graph — doc i ~ doc i+1 except across multiples of 10, so the
+    # components are length-10 chains with closed-form labels. Chains are
+    # the discriminating shape: multi-hop propagation that an edge-level
+    # rule cannot express (and that forces >1 alternating-star round).
+    def d5(spark, sf):
+        from pitfeat.ops.dedup import connected_components
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        nxt = d.select((F.col("doc_id")).alias("__nxt"))
+        edges = (
+            d.where(F.col("doc_id") % 10 != 9)
+            .join(nxt, F.col("doc_id") + 1 == F.col("__nxt"))
+            .select(F.col("doc_id").alias("id_a"), F.col("__nxt").alias("id_b"))
+        )
+        cc = connected_components(edges)
+        return (
+            d.join(cc, d["doc_id"] == cc["id"], "left")
+            .select(
+                F.col("doc_id").alias("id"),
+                F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+            )
+        )
+
+    q["d5_components"] = d5
     q["a6_rollup"] = a6r
     q["o3_union"] = o3
     q["o2_topk_global"] = o2g
@@ -1112,6 +1138,14 @@ def oracle_sql() -> dict[str, str]:
     # r6: merge-strategy nearest (the last strategy x direction matrix
     # hole) — identical semantics, identical oracle
     o["j1_merge_nearest"] = o["j1_asof_nearest"]
+
+    # D5: the chain graph's components have a closed form — the min of doc
+    # i's length-10 chain segment is i - i%10 (also correct for a partial
+    # final segment and for a degenerate singleton). Integer columns: the
+    # comparison is exact by construction.
+    o["d5_components"] = (
+        "SELECT doc_id AS id, doc_id - (doc_id % 10) AS component FROM documents"
+    )
 
     # W12: event-time EWMA, adjust=True times semantics. Like w11, the
     # oracle is a recursive CTE replicating the kernel's EXACT float ops

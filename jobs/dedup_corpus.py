@@ -51,7 +51,8 @@ def _config_hash(args) -> str:
     key = json.dumps(
         {
             k: getattr(args, k)
-            for k in ("method", "text_col", "id_col", "threshold", "max_hamming")
+            for k in ("method", "text_col", "id_col", "threshold", "max_hamming",
+                      "num_hashes", "bands")
         },
         sort_keys=True,
     )
@@ -73,6 +74,8 @@ def run(spark: SparkSession, args) -> dict:
                     df,
                     text_col=args.text_col,
                     id_col=args.id_col,
+                    num_hashes=args.num_hashes,
+                    bands=args.bands,
                     threshold=args.threshold,
                     sig_path=args.sig_path,
                 )
@@ -98,10 +101,26 @@ def run(spark: SparkSession, args) -> dict:
             pairs = compute_pairs()
         if args.pairs_only:
             out = pairs
+        elif args.survivor == "component":
+            # cluster-level rule (r6): connected components over the pair
+            # graph, keep exactly the min-id doc of every component — the
+            # published-standard MinHash-dedup clustering (near-dup
+            # similarity is not transitive, so chains collapse to ONE
+            # survivor here). Docs in no pair survive untouched.
+            from pitfeat.ops.dedup import connected_components
+
+            cc = connected_components(pairs)
+            losers = cc.where(F.col("id") != F.col("component")).select(
+                F.col("id").alias(args.id_col)
+            )
+            out = df.join(losers, args.id_col, "left_anti")
         else:
-            # survivor set: drop any doc that near-duplicates a LOWER id —
-            # the same min-id-keeper rule as exact_dedup, via a broadcastable
-            # anti-join on the (small-by-construction) pair table's id_b side
+            # edge-level rule (default, the r3-r5 behavior): drop any doc
+            # that near-duplicates a LOWER id — broadcastable anti-join on
+            # the (small-by-construction) pair table's id_b side. Differs
+            # from `component` on non-transitive structure: a star
+            # (a,c),(b,c) with a<b<c keeps BOTH a and b here (they are not
+            # near-dups of each other) but only a under `component`.
             losers = pairs.select(F.col("id_b").alias(args.id_col)).distinct()
             out = df.join(losers, args.id_col, "left_anti")
     if args.out:
@@ -127,9 +146,19 @@ def main(argv=None):
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--threshold", type=float, default=0.7, help="minhash Jaccard cutoff")
+    ap.add_argument("--num-hashes", type=int, default=32, help="minhash signature length")
+    ap.add_argument("--bands", type=int, default=8,
+                    help="LSH bands (rows per band = num-hashes/bands; more"
+                    " bands -> higher candidate recall at lower thresholds)")
     ap.add_argument("--max-hamming", type=int, default=3, help="simhash distance cutoff")
     ap.add_argument("--sig-path", default=None, help="shared-storage dir for signature tables (REQUIRED on a cluster)")
     ap.add_argument("--pairs-only", action="store_true", help="write the near-dup PAIR table instead of the survivor corpus")
+    ap.add_argument("--survivor", choices=["edge", "component"], default="edge",
+                    help="survivor rule: 'edge' drops any doc near-duplicating"
+                    " a lower id (may keep several mutually-dissimilar docs of"
+                    " one cluster); 'component' keeps exactly the min-id doc"
+                    " per connected component of the pair graph (the standard"
+                    " MinHash-dedup clustering)")
     ap.add_argument("--resume", default=None, help="run id: checkpoint/resume the pair stage")
     ap.add_argument("--ckpt-root", default="/tmp/pitfeat_ckpt")
     args = ap.parse_args(argv)

@@ -15,7 +15,12 @@ See SURVEY.md for the blueprint and BASELINE.md for the performance contract.
 
 from pitfeat.config import PitfeatConfig
 from pitfeat.ops.asof import asof_join
-from pitfeat.ops.dedup import exact_dedup, minhash_lsh_pairs, simhash_near_pairs
+from pitfeat.ops.dedup import (
+    connected_components,
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_near_pairs,
+)
 from pitfeat.ops.ewma import ewma, ewma_time
 from pitfeat.ops.normalize import (
     compute_moments,
@@ -34,6 +39,7 @@ __all__ = [
     "get_spark",
     "Pipeline",
     "asof_join",
+    "connected_components",
     "exact_dedup",
     "minhash_lsh_pairs",
     "simhash_near_pairs",

@@ -1204,3 +1204,110 @@ def test_matrix_engine_ragged_vector_parity(spark):
     assert by_rank[1] == (0, 1.0)
     assert by_rank[2] == (2, 0.0) and by_rank[3] == (3, 0.0)  # ragged/null 0.0, id asc
     assert by_rank[4] == (1, -1.0)  # genuine negative cosine ranks below
+
+
+# ---------- connected components over pair tables (r6) ----------
+
+
+def _uf_oracle(edges):
+    """Union-find reference: id -> min id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def _cc_map(df):
+    return {r["id"]: r["component"] for r in df.collect()}
+
+
+def test_connected_components_chain_star_and_isolated_pair(spark):
+    """A 6-node chain (multi-hop propagation — the case an edge-level rule
+    cannot express), a star with the min at a leaf, and a disjoint pair."""
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+             (10, 11), (10, 12), (10, 9),
+             (20, 21)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = _cc_map(D.connected_components(pairs))
+    assert got == _uf_oracle(edges)
+    assert got[6] == 1 and got[12] == 9 and got[21] == 20
+
+
+def test_connected_components_randomized_vs_union_find(spark):
+    rs = np.random.RandomState(31)
+    edges = [(int(rs.randint(0, 200)), int(rs.randint(0, 200))) for _ in range(300)]
+    edges = [(a, b) for a, b in edges if a != b]
+    # both orientations + duplicates must be harmless
+    pairs = spark.createDataFrame(edges + [(b, a) for a, b in edges[:50]],
+                                  "id_a long, id_b long")
+    got = _cc_map(D.connected_components(pairs))
+    assert got == _uf_oracle(edges)
+
+
+def test_connected_components_long_chain_converges_fast(spark):
+    """A 200-node chain needs ~log rounds under alternating star — naive
+    min-propagation would need ~200. max_iter=12 would fail propagation
+    but must pass here."""
+    edges = [(i, i + 1) for i in range(200)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = _cc_map(D.connected_components(pairs, max_iter=12))
+    assert set(got.values()) == {0}
+    assert len(got) == 201
+
+
+def test_connected_components_string_ids_and_hygiene(spark):
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "x"), (None, "z"), ("q", None)],
+        "id_a string, id_b string",
+    )
+    got = _cc_map(D.connected_components(pairs))
+    # self-pair and null rows dropped; 'x'/'z'/'q' never appear
+    assert got == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_dedup_corpus_survivor_component_vs_edge(spark, tmp_path):
+    """The two survivor rules differ exactly on non-transitive structure:
+    a STAR (1~3, 2~3, 1 !~ 2). The edge rule keeps {1, 2} (each survives —
+    neither near-duplicates a lower id except 3); the component rule keeps
+    only {1} (one doc per connected component). Both drop 3."""
+    import jobs.dedup_corpus as J
+
+    w = [f"w{i:03d}" for i in range(200)]
+    doc_a = " ".join(w[0:15])
+    doc_b = " ".join(w[100:115])
+    doc_c = " ".join(w[0:15] + w[100:115])  # the concat: star center
+    # exact jaccard(a,c) = jaccard(b,c) = 13/28 ~ 0.46; jaccard(a,b) = 0.
+    # bands=32 at num_hashes=32 (one row per band) makes candidate recall
+    # ~1 at this similarity — the rule comparison must not hinge on LSH
+    # banding luck at a mid jaccard.
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c)], "doc_id long, text string"
+    )
+    src = str(tmp_path / "star_docs")
+    df.write.mode("overwrite").parquet(src)
+
+    # precondition: the pair graph really is the star (else the rule
+    # comparison below is vacuous)
+    pairs = D.minhash_lsh_pairs(df, threshold=0.4, bands=32).toPandas()
+    assert set(map(tuple, pairs[["id_a", "id_b"]].to_numpy())) == {(1, 3), (2, 3)}
+
+    common = ["--input", src, "--method", "minhash", "--threshold", "0.4",
+              "--bands", "32"]
+    res_edge = J.main(common + ["--survivor", "edge",
+                                "--out", str(tmp_path / "edge_out")])
+    res_comp = J.main(common + ["--survivor", "component",
+                                "--out", str(tmp_path / "comp_out")])
+    kept_edge = {r.doc_id for r in spark.read.parquet(str(tmp_path / "edge_out")).collect()}
+    kept_comp = {r.doc_id for r in spark.read.parquet(str(tmp_path / "comp_out")).collect()}
+    assert res_edge["rows_out"] == 2 and kept_edge == {1, 2}
+    assert res_comp["rows_out"] == 1 and kept_comp == {1}
