@@ -320,16 +320,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["j3_broadcast_join"] = j3
 
     def j4(spark, sf):
+        # r6 de-vacuification: through r5 this joined events (Jan 2024)
+        # against orders (1995-2001) — temporally DISJOINT tables, so the
+        # range predicate NEVER fired and five rounds of green rows only
+        # verified agreement on all-zero counts (the exact vacuous-match
+        # class VERDICT r2 flagged for 0==0 rows). Intervals now derive
+        # from the events table itself (every 97th event opens a 30-minute
+        # window for its event_type), so every interval contains at least
+        # its own source event and the range residual is load-bearing.
         ev = _events(spark, sf)
-        orders = _t(spark, sf, "orders")
+        iv = ev.where(F.col("event_id") % 97 == 0).select(
+            F.col("event_id").alias("iv_id"),
+            F.col("event_type").alias("iv_type"),
+            F.col("ts").alias("iv_start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("iv_end"),
+        )
         cond = (
-            (ev.user_id == orders.o_custkey)
-            & (ev.ts >= orders.o_orderdate)
-            & (ev.ts < F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+            (ev.event_type == iv.iv_type)
+            & (ev.ts >= iv.iv_start)
+            & (ev.ts < iv.iv_end)
         )
         return (
-            orders.join(ev, cond, "left")
-            .groupBy("o_orderkey")
+            iv.join(ev, cond, "left")
+            .groupBy("iv_id")
             .agg(F.count("event_id").alias("n_events"))
         )
 
@@ -1007,6 +1020,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["d5_components"] = d5
+
+    # r6: the keyless interval join (grid-bucketed; no BNLJ in the plan —
+    # pinned by tests/test_intervals.py)
+    def j4b(spark, sf):
+        from pitfeat.ops.intervals import interval_join
+
+        ev = _events(spark, sf).select("event_id", "ts")
+        iv = (
+            _events(spark, sf)
+            .where(F.col("event_id") % 97 == 0)
+            .select(
+                F.col("event_id").alias("iv_id"),
+                F.col("ts").alias("iv_start"),
+                (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("iv_end"),
+            )
+        )
+        out = interval_join(ev, iv, ts="ts", bucket_width_s=1800.0)
+        return out.select("event_id", "iv_id")
+
+    q["j4b_interval_pure"] = j4b
     q["a6_rollup"] = a6r
     q["o3_union"] = o3
     q["o2_topk_global"] = o2g
@@ -1202,12 +1235,32 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY c_mktsegment
     """
 
+    # r6: intervals derive from events (see the query's de-vacuification
+    # note) — n_events >= 1 for every interval by construction
     o["j4_range_join"] = """
-        SELECT o_orderkey, count(e.event_id) AS n_events
-        FROM orders o LEFT JOIN events e
-          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
-         AND e.ts < o.o_orderdate + INTERVAL 30 DAY
-        GROUP BY o_orderkey
+        WITH iv AS (
+            SELECT event_id AS iv_id, event_type AS iv_type, ts AS iv_start,
+                   ts + INTERVAL 30 MINUTE AS iv_end
+            FROM events WHERE event_id % 97 = 0
+        )
+        SELECT iv.iv_id, count(e.event_id) AS n_events
+        FROM iv LEFT JOIN events e
+          ON e.event_type = iv.iv_type AND e.ts >= iv.iv_start AND e.ts < iv.iv_end
+        GROUP BY iv.iv_id
+    """
+
+    # J4b: the PURE (keyless) interval join through the grid-bucketed
+    # operator (pitfeat/ops/intervals.py) — the shape whose naive Spark
+    # plan is BroadcastNestedLoopJoin; the oracle is the naive SQL form
+    o["j4b_interval_pure"] = """
+        WITH iv AS (
+            SELECT event_id AS iv_id, ts AS iv_start,
+                   ts + INTERVAL 30 MINUTE AS iv_end
+            FROM events WHERE event_id % 97 = 0
+        )
+        SELECT e.event_id, iv.iv_id
+        FROM events e JOIN iv
+          ON e.ts >= iv.iv_start AND e.ts < iv.iv_end
     """
 
     o["j5_semi_join"] = (

@@ -22,6 +22,7 @@ from pitfeat.ops.dedup import (
     simhash_near_pairs,
 )
 from pitfeat.ops.ewma import ewma, ewma_time
+from pitfeat.ops.intervals import interval_join
 from pitfeat.ops.normalize import (
     compute_moments,
     compute_quantiles,
@@ -48,6 +49,7 @@ __all__ = [
     "ivf_topk",
     "knn_join",
     "ewma",
+    "interval_join",
     "ewma_time",
     "compute_moments",
     "normalize_zscore",
