@@ -63,18 +63,46 @@ def _events(spark, sf):
     return _t(spark, sf, "events")
 
 
+# r6 de-vacuification (found by the oracle-degeneracy audit): raw
+# o_orderdate spans 1995-2001 while events span Jan 2024 — temporally
+# DISJOINT, so through r5 the forward-direction entries matched NOTHING
+# (five rounds of green rows verified all-null agreement), the 30-day
+# tolerance entry nulled EVERY match, and even backward trivially handed
+# each event its user's single latest snapshot. The snapshot timestamp is
+# now remapped deterministically into the events window — pure integer
+# microsecond arithmetic, bit-identical in Spark and DuckDB (`div` and
+# `//` agree on positives) — so snapshots interleave with events per user
+# (~1 snapshot / 2-3 days / user) and every direction, the tie rule, and
+# staleness are load-bearing in the contract, as they always were in the
+# pytest suite.
+_SNAP_US = (
+    "(unix_micros(timestamp '2024-01-01 00:00:00') + "
+    "((unix_micros(cast({od} as timestamp)) - "
+    "unix_micros(timestamp '1995-01-01 00:00:00')) div 80))"
+)
+
+
 def _orders_snapshots(spark, sf):
-    """As-of right side: one snapshot per (custkey, orderdate); max totalprice
-    dedups same-day orders so the as-of pick is deterministic in any engine."""
+    """As-of right side: one snapshot per (custkey, mapped orderdate); max
+    totalprice dedups same-day orders so the as-of pick is deterministic in
+    any engine. See the _SNAP_US remap note above. (o_orderdate is
+    TIMESTAMP_NTZ in the parquet; the UTC-session cast chain keeps the
+    wall-clock reading DuckDB's naive epoch_us sees, and the final
+    timestamp_ntz cast preserves the pre-remap snap_ts schema.)"""
+    snap_ts = F.expr(
+        f"cast(timestamp_micros({_SNAP_US.format(od='o_orderdate')}) as timestamp_ntz)"
+    )
     return (
         _t(spark, sf, "orders")
-        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("snap_ts"))
+        .groupBy(F.col("o_custkey").alias("user_id"), snap_ts.alias("snap_ts"))
         .agg(F.max("o_totalprice").alias("snap_price"))
     )
 
 
 _SNAP_SQL = (
-    "SELECT o_custkey AS user_id, o_orderdate AS snap_ts, "
+    "SELECT o_custkey AS user_id, "
+    "make_timestamp(epoch_us(TIMESTAMP '2024-01-01 00:00:00') + "
+    "((epoch_us(o_orderdate) - epoch_us(TIMESTAMP '1995-01-01 00:00:00')) // 80)) AS snap_ts, "
     "max(o_totalprice) AS snap_price FROM orders GROUP BY 1, 2"
 )
 
@@ -971,7 +999,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (the same DuckDB-oracle machinery) at sf0.001 and sf0.01 each round.
     q["j1_asof_strict"] = _asof_query("window", allow_exact=False)
     # tolerance through the merge strategy (its staleness path)
-    q["j1_asof_tolerance"] = _asof_query("merge", tolerance_s=30 * 86400.0)
+    # r6: tolerance tightened 30d -> 1d with the remapped snapshots
+    # (per-user snapshot gaps are ~2-3 days, so SOME matches go stale
+    # and some survive — 30d nulled nothing after the remap, just as
+    # it nulled everything before it)
+    q["j1_asof_tolerance"] = _asof_query("merge", tolerance_s=86400.0)
     q["j1_asof_cogroup"] = _asof_query("cogroup")
     q["j1_asof_nearest"] = _asof_query("cogroup", direction="nearest")
     # r6 rotation (VERDICT r5 #3): j1_window_forward/nearest, s6_knn_ivf and
@@ -1213,7 +1245,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id, user_id, epoch_us(ts) AS ts_us, value, value_ewma FROM r
     """
     # tolerance: backward match, then the whole snapshot row goes NULL when
-    # staler than 30 days (ts - snap_ts > tol) — the engine's staleness rule
+    # staler than 1 day (ts - snap_ts > tol) — the engine's staleness rule
     o["j1_asof_tolerance"] = f"""
         WITH snaps AS ({_SNAP_SQL}), j AS (
             SELECT e.event_id, e.user_id, e.ts, s.snap_ts, s.snap_price
@@ -1221,9 +1253,9 @@ def oracle_sql() -> dict[str, str]:
               ON e.user_id = s.user_id AND e.ts >= s.snap_ts
         )
         SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-            CASE WHEN epoch_us(ts) - epoch_us(snap_ts) <= {30 * 86400 * 1_000_000}
+            CASE WHEN epoch_us(ts) - epoch_us(snap_ts) <= {86400 * 1_000_000}
                  THEN epoch_us(snap_ts) END AS snap_ts_us,
-            CASE WHEN epoch_us(ts) - epoch_us(snap_ts) <= {30 * 86400 * 1_000_000}
+            CASE WHEN epoch_us(ts) - epoch_us(snap_ts) <= {86400 * 1_000_000}
                  THEN snap_price END AS snap_price
         FROM j
     """
