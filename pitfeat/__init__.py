@@ -26,6 +26,7 @@ from pitfeat.ops.intervals import interval_join
 from pitfeat.ops.normalize import (
     compute_moments,
     compute_quantiles,
+    compute_quantiles_multi,
     normalize_zscore,
     quantile_bin,
 )
@@ -54,6 +55,7 @@ __all__ = [
     "compute_moments",
     "normalize_zscore",
     "compute_quantiles",
+    "compute_quantiles_multi",
     "quantile_bin",
     "__version__",
 ]

@@ -179,24 +179,44 @@ def compute_quantiles(
     ``exact=False`` to use ``approx_percentile`` (bounded-memory KLL-style
     sketch, mergeable map-side) and accept sketch-accuracy cutpoints.
     """
+    return compute_quantiles_multi(df, [col], probs, exact=exact)[col]
+
+
+def compute_quantiles_multi(
+    df: DataFrame, cols: list[str], probs: list[float], exact: bool = True
+) -> dict[str, list[float]]:
+    """Cutpoints for MANY columns in ONE agg job — the scale-hygienic form
+    for feature pipelines binning dozens of columns: N separate
+    compute_quantiles calls cost N full scans + N shuffles, this costs one
+    of each (the same one-job discipline as compute_minmax / A2). Returns
+    ``{col: cutpoints}``; per-column semantics identical to
+    compute_quantiles (NaN excluded from stats, error on all-null)."""
     for p in probs:
         if not (0.0 < p < 1.0):
             raise ValueError(f"compute_quantiles: probs must be interior, got {p}")
+    if not cols:
+        raise ValueError("compute_quantiles_multi: cols must be non-empty")
     fn = "percentile" if exact else "approx_percentile"
     arr = ", ".join(repr(float(p)) for p in probs)
-    # NaN would sort greatest and shift every cutpoint — exclude it, like
-    # compute_minmax / compute_moments do. Backtick-quote the identifier
-    # (ADVICE r5): a raw interpolation broke on names with spaces/dots/
-    # hyphens, unlike the rest of this module which goes through F.col.
-    ident = "`" + col.replace("`", "``") + "`"
-    clean = f"CASE WHEN NOT isnan({ident}) THEN {ident} END"
-    row = df.select(
-        F.expr(f"{fn}({clean}, array({arr}))").alias("__q")
-    ).collect()[0]
-    q = row["__q"]
-    if q is None or any(v is None for v in q):
-        raise ValueError(f"compute_quantiles: column {col!r} has no non-null values")
-    return [float(v) for v in q]
+    exprs = []
+    for i, col in enumerate(cols):
+        # NaN would sort greatest and shift every cutpoint — exclude it, like
+        # compute_minmax / compute_moments do. Backtick-quote the identifier
+        # (ADVICE r5): a raw interpolation broke on names with spaces/dots/
+        # hyphens, unlike the rest of this module which goes through F.col.
+        ident = "`" + col.replace("`", "``") + "`"
+        clean = f"CASE WHEN NOT isnan({ident}) THEN {ident} END"
+        exprs.append(F.expr(f"{fn}({clean}, array({arr}))").alias(f"__q{i}"))
+    row = df.select(*exprs).collect()[0]
+    out = {}
+    for i, col in enumerate(cols):
+        q = row[f"__q{i}"]
+        if q is None or any(v is None for v in q):
+            raise ValueError(
+                f"compute_quantiles: column {col!r} has no non-null values"
+            )
+        out[col] = [float(v) for v in q]
+    return out
 
 
 def quantile_bin(

@@ -193,3 +193,30 @@ def test_quantile_approx_leg_at_scale(spark):
     for p, e, a in zip(probs, exact, a1):
         assert abs(a - e) < 2e-3, (p, e, a)
     assert all(x < y for x, y in zip(a1, a1[1:]))  # monotone cutpoints
+
+
+def test_quantiles_multi_one_job_parity(spark):
+    """compute_quantiles_multi == per-column compute_quantiles on every
+    column (incl. a NaN-bearing one), in ONE agg job instead of N."""
+    from pitfeat.ops.normalize import compute_quantiles, compute_quantiles_multi
+
+    pdf = pd.DataFrame(
+        {
+            "a": np.arange(100, dtype=float),
+            "b": np.arange(100, dtype=float) ** 2,
+            "c": [np.nan if i % 7 == 0 else float(i) for i in range(100)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    probs = [0.25, 0.5, 0.75]
+    multi = compute_quantiles_multi(df, ["a", "b", "c"], probs)
+    for c in ("a", "b", "c"):
+        assert multi[c] == compute_quantiles(df, c, probs), c
+    with pytest.raises(ValueError, match="non-empty"):
+        compute_quantiles_multi(df, [], probs)
+    with pytest.raises(ValueError, match="no non-null"):
+        compute_quantiles_multi(
+            spark.createDataFrame(pd.DataFrame({"a": [1.0], "z": [None]}),
+                                  "a double, z double"),
+            ["a", "z"], probs,
+        )
