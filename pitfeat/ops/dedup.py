@@ -612,6 +612,7 @@ def connected_components(
     out_id: str = "id",
     out_col: str = "component",
     max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components of the undirected graph given by a pair table —
     one row ``(id, component)`` per node appearing in any pair, where
@@ -681,10 +682,12 @@ def connected_components(
 
     edges = sym.localCheckpoint(eager=True)
     n, chk = _checksum(edges)
-    for _ in range(max_iter):
+    for rounds in range(1, max_iter + 1):
         edges = _star(_star(edges, large=True), large=False).localCheckpoint(eager=True)
         n2, chk2 = _checksum(edges)
         if (n2, chk2) == (n, chk):
+            if stats is not None:
+                stats["rounds"] = rounds
             break
         n, chk = n2, chk2
     else:

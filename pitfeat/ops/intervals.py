@@ -61,6 +61,11 @@ def interval_join(
             f"interval_join: column collision {sorted(collide)}; rename first"
         )
     w_us = int(bucket_width_s * 1_000_000)
+    if w_us < 1:
+        raise ValueError(
+            f"interval_join: bucket_width_s={bucket_width_s} is below 1 "
+            "microsecond (timestamp resolution)"
+        )
 
     p = points.withColumn(
         "__bkt", F.floor(F.unix_micros(F.col(ts).cast("timestamp")) / F.lit(w_us))

@@ -154,3 +154,14 @@ def test_interval_join_plan_has_no_nested_loop(spark):
     )
     assert "BroadcastNestedLoopJoin" not in grid_plan
     assert "CartesianProduct" not in grid_plan
+
+
+def test_interval_join_subresolution_width_rejected(spark):
+    base = pd.Timestamp("2026-04-01")
+    pts = spark.createDataFrame(pd.DataFrame({"pid": [0], "ts": [base]}))
+    ivs = spark.createDataFrame(
+        pd.DataFrame({"iv_id": [0], "iv_start": [base],
+                      "iv_end": [base + pd.Timedelta("1min")]})
+    )
+    with pytest.raises(ValueError, match="microsecond"):
+        interval_join(pts, ivs, bucket_width_s=1e-7)

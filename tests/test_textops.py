@@ -1311,3 +1311,10 @@ def test_dedup_corpus_survivor_component_vs_edge(spark, tmp_path):
     kept_comp = {r.doc_id for r in spark.read.parquet(str(tmp_path / "comp_out")).collect()}
     assert res_edge["rows_out"] == 2 and kept_edge == {1, 2}
     assert res_comp["rows_out"] == 1 and kept_comp == {1}
+
+
+def test_connected_components_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    out = D.connected_components(pairs)
+    assert out.columns == ["id", "component"]
+    assert out.count() == 0
