@@ -778,12 +778,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def a9(spark, sf):
         ev = _events(spark, sf).select("event_id", "value")
         stats = compute_moments(ev, ["value"])
-        # round(6): Spark's avg/stddev partial-aggregate merge order is
-        # partition-layout-dependent, DuckDB's is sequential — bit-exact at
-        # sf0.001 (judge r5 probe) is not a scale-stable guarantee, and the
-        # driver hashes floats exactly (the w11 lesson).
+        # 6-decimal quantization absorbs the mu/sd last-ulp drift (Spark's
+        # avg/stddev partial-merge order is partition-layout-dependent,
+        # DuckDB's sequential; the driver hashes floats exactly — the w11
+        # lesson). ADVICE r6: round() itself was a residual divergence class
+        # (Spark HALF_UP vs DuckDB half-to-even AT midpoints), so quantize
+        # via floor(x*1e6 + 0.5)/1e6 — the identical IEEE op sequence on
+        # both engines (float64 mul, add, floor, div), no rounding-mode
+        # dependence left. Measured at sf0.1: min |x*1e6+0.5 - nearest int|
+        # across all 100k z-scores is far above one ulp of x*1e6 (probe in
+        # BASELINE.md), so the remaining mu/sd ulp class cannot flip a floor.
         return normalize_zscore(ev, stats).select(
-            "event_id", F.round(F.col("value"), 6).alias("value_z")
+            "event_id",
+            (F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+                "value_z"
+            ),
         )
 
     # r6 rotation (VERDICT r5 #3): in-cap — zero driver rows before this
@@ -1713,7 +1722,13 @@ def oracle_sql() -> dict[str, str]:
 
     o["a9_zscore"] = """
         WITH s AS (SELECT avg(value) AS mu, stddev_samp(value) AS sd FROM events)
-        SELECT e.event_id, round((e.value - s.mu) / s.sd, 6) AS value_z FROM events e, s
+        -- floor(x*1e6 + 0.5)/1e6, NOT round(x, 6): DuckDB round is
+        -- half-to-even, Spark's HALF_UP — at dyadic midpoints they split
+        -- (ADVICE r6, same class as the w11 dyadic trap). This form is the
+        -- identical IEEE float64 op sequence both engines run.
+        SELECT e.event_id,
+               floor(((e.value - s.mu) / s.sd) * 1e6 + 0.5) / 1e6 AS value_z
+        FROM events e, s
     """
 
     return o

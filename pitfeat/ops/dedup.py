@@ -318,6 +318,19 @@ def minhash_lsh_pairs(
     written signature table — no extra pass over the corpus) to be under
     their thresholds; either alone falls back to the written-table path,
     which handles any size."""
+    # hard-validate the banding arithmetic (ADVICE r6): a non-divisor bands
+    # silently dropped num_hashes % bands hashes from every band slice
+    # (reduced candidate recall with no warning), and bands > num_hashes
+    # made rows_per_band 0 (every slice empty -> one global bucket)
+    if bands < 1:
+        raise ValueError(f"minhash_lsh_pairs: bands must be >= 1, got {bands}")
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"minhash_lsh_pairs: num_hashes ({num_hashes}) must be a "
+            f"multiple of bands ({bands}) — every hash must land in exactly "
+            "one band slice; pick e.g. "
+            f"num_hashes={bands * max(1, num_hashes // bands)}"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(
         df, text_col, num_hashes, shingle_n, seed, as_array=True

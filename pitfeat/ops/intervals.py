@@ -60,6 +60,14 @@ def interval_join(
         raise ValueError(
             f"interval_join: column collision {sorted(collide)}; rename first"
         )
+    # the grid machinery owns __bkt/__span; an input already carrying them
+    # would be silently overwritten by withColumn and then dropped (ADVICE r6)
+    reserved = {"__bkt", "__span"} & (set(points.columns) | set(intervals.columns))
+    if reserved:
+        raise ValueError(
+            f"interval_join: column(s) {sorted(reserved)} are reserved for "
+            "the internal bucket grid; rename them first"
+        )
     w_us = int(bucket_width_s * 1_000_000)
     if w_us < 1:
         raise ValueError(

@@ -21,6 +21,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# query-matrix broadcasts from prior _matrix_topk calls, unpersisted on the
+# next call (executor-memory hygiene; see the eviction comment in _matrix_topk)
+_LIVE_QUERY_BCASTS: list = []
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
@@ -242,7 +247,19 @@ def _matrix_topk(
     # (512 MB) the closure path would not even serialize. Masker query-side
     # arrays (nq x tables ints) stay in their closures — they are built by
     # callers and are ~dim/tables times smaller than Q.
+    # Evict the PREVIOUS call's query-matrix broadcast before registering a
+    # new one (ADVICE r6): repeated matrix-topk calls in a long session were
+    # accumulating up-to-512MB executor/driver copies per call. unpersist()
+    # (not destroy) is the safe eviction — it frees executor memory but keeps
+    # the driver copy, so a still-lazy DataFrame from an earlier call that
+    # gets re-evaluated later just re-torrents its matrix instead of failing.
+    while _LIVE_QUERY_BCASTS:
+        try:
+            _LIVE_QUERY_BCASTS.pop().unpersist(blocking=False)
+        except Exception:
+            pass  # already destroyed / context gone — nothing to free
     bc = spark.sparkContext.broadcast((qids, Q, Qn))
+    _LIVE_QUERY_BCASTS.append(bc)
 
     src = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
 

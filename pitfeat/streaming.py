@@ -242,11 +242,13 @@ def stream_pit_features(
     key_type = next(
         f.dataType.simpleString() for f in turns.schema.fields if f.name == key
     )
-    out_schema = (
-        f"{key} {key_type}, "
-        + ", ".join(f"{c} {extra_types[c]}" for c in extras)
-        + ", t_us long, snap_t_us long, "
-        + ", ".join(f"{f} double" for f in feature_cols)
+    # joined from a segment list so empty extras/feature lists can't leave
+    # a dangling ', ,' in the DDL string (ADVICE r6)
+    out_schema = ", ".join(
+        [f"{key} {key_type}"]
+        + [f"{c} {extra_types[c]}" for c in extras]
+        + ["t_us long", "snap_t_us long"]
+        + [f"{f} double" for f in feature_cols]
     )
     if impl == "tws":
         proc = _make_tws_processor(feature_cols, extras, key)
@@ -347,10 +349,12 @@ def stream_ewma(
         *[F.col(c) for c in extras],
         F.col(col).cast("double").alias(col),
     )
-    out_schema = (
-        f"{key} {types[key]}, t_us long, "
-        + ", ".join(f"{c} {types[c]}" for c in extras)
-        + f", {col} double, {out_col} double"
+    # segment-list join: with order_extra=() the old string-concat form
+    # emitted '..., t_us long, , value double' and failed to parse (ADVICE r6)
+    out_schema = ", ".join(
+        [f"{key} {types[key]}", "t_us long"]
+        + [f"{c} {types[c]}" for c in extras]
+        + [f"{col} double", f"{out_col} double"]
     )
 
     def fn(group_key, pdfs, state):
@@ -424,10 +428,12 @@ def stream_ewma_time(
         *[F.col(c) for c in extras],
         F.col(col).cast("double").alias(col),
     )
-    out_schema = (
-        f"{key} {types[key]}, t_us long, "
-        + ", ".join(f"{c} {types[c]}" for c in extras)
-        + f", {col} double, {out_col} double"
+    # segment-list join: with order_extra=() the old string-concat form
+    # emitted '..., t_us long, , value double' and failed to parse (ADVICE r6)
+    out_schema = ", ".join(
+        [f"{key} {types[key]}", "t_us long"]
+        + [f"{c} {types[c]}" for c in extras]
+        + [f"{col} double", f"{out_col} double"]
     )
 
     def fn(group_key, pdfs, state):

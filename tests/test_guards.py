@@ -71,3 +71,18 @@ def test_cap_does_not_touch_real_neardups(spark):
         base.unionByName(dup), num_hashes=32, bands=8, threshold=0.9, max_bucket=50
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(7, 1007)}
+
+
+def test_minhash_banding_validated(spark):
+    """ADVICE r6: num_hashes % bands != 0 silently dropped the remainder
+    hashes from every band slice (quietly reduced candidate recall), and
+    bands > num_hashes made rows_per_band 0. Both must fail loudly."""
+    import pytest
+
+    docs = _identical_docs(spark, 4)
+    with pytest.raises(ValueError, match="multiple of bands"):
+        minhash_lsh_pairs(docs, num_hashes=10, bands=4)
+    with pytest.raises(ValueError, match="multiple of bands"):
+        minhash_lsh_pairs(docs, num_hashes=4, bands=16)
+    with pytest.raises(ValueError, match="bands must be"):
+        minhash_lsh_pairs(docs, num_hashes=16, bands=0)

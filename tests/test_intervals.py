@@ -113,6 +113,13 @@ def test_interval_join_span_guard_and_validation(spark):
                       .withColumn("iv_end", F.col("iv_start")))
     with pytest.raises(ValueError, match="bucket_width_s"):
         interval_join(pts, long_iv, bucket_width_s=0)
+    # ADVICE r6: the internal grid names are reserved — an input already
+    # carrying __bkt was silently overwritten, then dropped, producing an
+    # unresolved-column failure at the final select instead of a clear error
+    with pytest.raises(ValueError, match="reserved"):
+        interval_join(pts.withColumn("__bkt", F.lit(0)), long_iv)
+    with pytest.raises(ValueError, match="reserved"):
+        interval_join(pts, long_iv.withColumn("__span", F.lit(0)))
 
 
 def test_interval_join_extra_on_key(spark):

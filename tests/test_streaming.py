@@ -472,3 +472,28 @@ def test_stream_ewma_time_equals_batch_across_restart(spark, transcripts, tmp_pa
         got["x_ewma"].to_numpy()[~nan] == want["x_ewma"].to_numpy()[~nan]
     ).all()
     pd.testing.assert_series_equal(got["ts"], want["ts"], check_names=False)
+
+
+def test_stream_ewma_schema_with_empty_order_extra(spark, transcripts, tmp_path):
+    """ADVICE r6: the outputStructType DDL was built by string concatenation,
+    so order_extra=() produced '..., t_us long, , x double' and failed to
+    parse. Constructing the stateful plan (no query start needed — the DDL
+    parses at applyInPandasWithState call time) must succeed and carry the
+    right columns for BOTH ewma variants (stream_pit_features shared the
+    pattern and got the same segment-list fix)."""
+    from pyspark.sql import functions as F
+
+    from pitfeat.streaming import stream_ewma, stream_ewma_time
+
+    base = transcripts.withColumn("x", F.length("text").cast("double")).select(
+        "conv_id", "turn_idx", "ts", "x"
+    )
+    tdir = str(tmp_path / "turns")
+    base.write.mode("overwrite").parquet(tdir)
+    src = spark.readStream.schema(spark.read.parquet(tdir).schema).parquet(tdir)
+
+    for op in (stream_ewma, stream_ewma_time):
+        out = op(src, "x", 0.5, order_extra=())
+        assert [f.name for f in out.schema.fields] == [
+            "conv_id", "ts", "x", "x_ewma",
+        ], op.__name__
