@@ -330,6 +330,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # representation via j1_asof_forward's five historical greens + pytest.
     q["j1_window_forward"] = _asof_query("window", direction="forward")
     q["j1_window_nearest"] = _asof_query("window", direction="nearest")
+    # r7 rotation (VERDICT r6 #1): the four r6-NEW entries were registered
+    # straight to the tail and so had ZERO driver rows; they graduate to the
+    # cap here (merge-nearest, w12_ewma_time, d5_components, j4b below),
+    # displacing j5_anti_join, w5_cumulative, o4_except, f_date_funcs — all
+    # driver-green in consecutive rounds since their own in-cap debuts (j5a/
+    # o4e r5-r6, w5/f_date r1-r6) and all family-covered in-cap (j5_semi's
+    # sibling anti keeps pytest + tail checks, w5 ~ w3/w6's frame family,
+    # o4_except ~ o4_intersect tail, f_date ~ f_string in-cap).
+    q["j1_merge_nearest"] = _asof_query("merge", direction="nearest")
 
     def j3(spark, sf):
         orders = _t(spark, sf, "orders")
@@ -376,6 +385,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["j4_range_join"] = j4
 
+    # r7 rotation: the keyless interval join (grid-bucketed; no BNLJ in the
+    # plan — pinned by tests/test_intervals.py) graduates from the tail
+    def j4b(spark, sf):
+        from pitfeat.ops.intervals import interval_join
+
+        ev = _events(spark, sf).select("event_id", "ts")
+        iv = (
+            _events(spark, sf)
+            .where(F.col("event_id") % 97 == 0)
+            .select(
+                F.col("event_id").alias("iv_id"),
+                F.col("ts").alias("iv_start"),
+                (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("iv_end"),
+            )
+        )
+        out = interval_join(ev, iv, ts="ts", bucket_width_s=1800.0)
+        return out.select("event_id", "iv_id")
+
+    q["j4b_interval_pure"] = j4b
+
     def j5s(spark, sf):
         cust = _t(spark, sf, "customer")
         orders = _t(spark, sf, "orders")
@@ -394,11 +423,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ev, cust.c_custkey == ev.user_id, "left_anti"
         ).select("c_custkey")
 
-    # r5 rotation (VERDICT r4 #1, the round's top ask): the anti-join's only
-    # driver rows were from r1, BEFORE r3 made its anti-set non-vacuous —
-    # family swap puts anti in-cap and semi (driver-green r1-r4) in the tail.
-    q["j5_anti_join"] = j5a
-    # (j5_semi_join is registered in the tail block)
+    # r5 rotation put anti in-cap (driver-green r5-r6); r7 rotation moves it
+    # to the tail to free a cap slot for the r6-new entries — registered in
+    # the tail block below along with j5_semi.
 
     def j6(spark, sf):
         # J6 self as-of (SURVEY §2.3): previous SESSION's summary attached to
@@ -478,14 +505,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
-    q["w5_cumulative"] = lambda spark, sf: (
-        _events(spark, sf).select(
+    # (w5_cumulative: driver-green r1-r6, rotated to the tail block at r7)
+    def w5(spark, sf):
+        return _events(spark, sf).select(
             "event_id",
             F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
             .over(_ew().rowsBetween(Window.unboundedPreceding, 0))
             .alias("cum_purchases"),
         )
-    )
 
     q["w6_ffill"] = lambda spark, sf: (
         _events(spark, sf).select(
@@ -723,11 +750,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return a.exceptAll(b)
 
-    # r5 rotation (VERDICT r4 #1): except's only driver rows predate r3's
-    # non-empty value-bucket domain — family swap: except in-cap, intersect
-    # (driver-green r1-r4) to the tail.
-    q["o4_except"] = o4e
-    # (o4_intersect is registered in the tail block)
+    # r5 rotation put except in-cap (driver-green r5-r6); r7 rotation moves
+    # it back to the tail (registered below with o4_intersect) to free a cap
+    # slot for the r6-new entries.
 
     # --- scalar function families (§2.7) ---
     q["f_string_funcs"] = lambda spark, sf: (
@@ -739,13 +764,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
-    q["f_date_funcs"] = lambda spark, sf: (
-        _events(spark, sf).select(
+    # (f_date_funcs: driver-green r1-r6, rotated to the tail block at r7)
+    def f_date(spark, sf):
+        return _events(spark, sf).select(
             "event_id",
             F.date_format("ts", "yyyy-MM").alias("month_str"),
             F.dayofweek("ts").alias("dow"),
         )
-    )
 
     # w11/a10 sit in-cap at the slots f_json_funcs/f_array_funcs held in r4
     # (both rotated to the tail with green rows in ALL of r1-r4); new ops get
@@ -767,6 +792,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["w11_ewma"] = w11
+
+    # r7 rotation: W12 event-time EWMA — decay by elapsed time (halflife
+    # 3600 s), pandas ewm(halflife, times, adjust=True) semantics; the CTE
+    # oracle replicates the kernel's float ops bit-for-bit (see oracle_sql)
+    def w12(spark, sf):
+        ev = _events(spark, sf).select("event_id", "user_id", "ts", "value")
+        out = ewma_time(
+            ev, "value", 3600.0, key="user_id", ts="ts", order_extra=("event_id",)
+        )
+        return out.select(
+            "event_id", "user_id", _us("ts").alias("ts_us"), "value", "value_ewma"
+        )
+
+    q["w12_ewma_time"] = w12
 
     def a10(spark, sf):
         ev = _events(spark, sf).select("event_id", "value")
@@ -879,6 +918,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["d4_ngram_jaccard"] = d4
+
+    # r7 rotation: connected components (near-dup cluster ids) over a
+    # DETERMINISTIC chain graph — doc i ~ doc i+1 except across multiples of
+    # 10, so the components are length-10 chains with closed-form labels.
+    # Chains are the discriminating shape: multi-hop propagation that an
+    # edge-level rule cannot express (and that forces >1 alternating-star
+    # round).
+    def d5(spark, sf):
+        from pitfeat.ops.dedup import connected_components
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        nxt = d.select((F.col("doc_id")).alias("__nxt"))
+        edges = (
+            d.where(F.col("doc_id") % 10 != 9)
+            .join(nxt, F.col("doc_id") + 1 == F.col("__nxt"))
+            .select(F.col("doc_id").alias("id_a"), F.col("__nxt").alias("id_b"))
+        )
+        cc = connected_components(edges)
+        return (
+            d.join(cc, d["doc_id"] == cc["id"], "left")
+            .select(
+                F.col("doc_id").alias("id"),
+                F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+            )
+        )
+
+    q["d5_components"] = d5
 
     # --- similarity ---
     def s1(spark, sf):
@@ -1019,68 +1085,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a9_zscore graduated to the cap (zero driver rows before r6); the four
     # displaced entries below are all driver-green r1-r5
     q["j1_asof_forward"] = _asof_query("cogroup", direction="forward")
-    # r6: merge/nearest — the strategy x direction matrix is now complete
-    q["j1_merge_nearest"] = _asof_query("merge", direction="nearest")
-
-    # r6: W12 event-time EWMA — decay by elapsed time (halflife 3600 s),
-    # pandas ewm(halflife, times, adjust=True) semantics; the CTE oracle
-    # replicates the kernel's float ops bit-for-bit (see oracle_sql)
-    def w12(spark, sf):
-        ev = _events(spark, sf).select("event_id", "user_id", "ts", "value")
-        out = ewma_time(
-            ev, "value", 3600.0, key="user_id", ts="ts", order_extra=("event_id",)
-        )
-        return out.select(
-            "event_id", "user_id", _us("ts").alias("ts_us"), "value", "value_ewma"
-        )
-
-    q["w12_ewma_time"] = w12
-
-    # r6: connected components (near-dup cluster ids) over a DETERMINISTIC
-    # chain graph — doc i ~ doc i+1 except across multiples of 10, so the
-    # components are length-10 chains with closed-form labels. Chains are
-    # the discriminating shape: multi-hop propagation that an edge-level
-    # rule cannot express (and that forces >1 alternating-star round).
-    def d5(spark, sf):
-        from pitfeat.ops.dedup import connected_components
-
-        d = _t(spark, sf, "documents").select("doc_id")
-        nxt = d.select((F.col("doc_id")).alias("__nxt"))
-        edges = (
-            d.where(F.col("doc_id") % 10 != 9)
-            .join(nxt, F.col("doc_id") + 1 == F.col("__nxt"))
-            .select(F.col("doc_id").alias("id_a"), F.col("__nxt").alias("id_b"))
-        )
-        cc = connected_components(edges)
-        return (
-            d.join(cc, d["doc_id"] == cc["id"], "left")
-            .select(
-                F.col("doc_id").alias("id"),
-                F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
-            )
-        )
-
-    q["d5_components"] = d5
-
-    # r6: the keyless interval join (grid-bucketed; no BNLJ in the plan —
-    # pinned by tests/test_intervals.py)
-    def j4b(spark, sf):
-        from pitfeat.ops.intervals import interval_join
-
-        ev = _events(spark, sf).select("event_id", "ts")
-        iv = (
-            _events(spark, sf)
-            .where(F.col("event_id") % 97 == 0)
-            .select(
-                F.col("event_id").alias("iv_id"),
-                F.col("ts").alias("iv_start"),
-                (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("iv_end"),
-            )
-        )
-        out = interval_join(ev, iv, ts="ts", bucket_width_s=1800.0)
-        return out.select("event_id", "iv_id")
-
-    q["j4b_interval_pure"] = j4b
+    # r7 rotation (VERDICT r6 #1): the four r6-new entries (j1_merge_nearest,
+    # w12_ewma_time, d5_components, j4b_interval_pure) graduated to the cap;
+    # the four displaced entries below are driver-green through r6 and keep
+    # their oracle checks here every round.
+    q["j5_anti_join"] = j5a
+    q["w5_cumulative"] = w5
+    q["o4_except"] = o4e
+    q["f_date_funcs"] = f_date
     q["a6_rollup"] = a6r
     q["o3_union"] = o3
     q["o2_topk_global"] = o2g

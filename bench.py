@@ -23,6 +23,53 @@ from pitfeat.session import get_spark
 from pyspark.sql import functions as F
 
 
+def host_probe(spark) -> dict:
+    """Fixed-cost host-health probe (VERDICT r6 #2): two rounds (r5, r6) of
+    driver bench records were degraded-window artifacts, defended only by
+    ad-hoc cross-probes at old commits. This makes every record carry its
+    own window-health evidence — three constant workloads whose clean-host
+    wall-times are pinned in BASELINE.md ("Host-health probe calibration"),
+    so any future record can be judged healthy/degraded by NUMBERS IN THE
+    ARTIFACT, not argument:
+
+    - ``gemm_ms``      — seeded 512x512 float64 matmul, min of 5 (CPU/BLAS).
+    - ``numpy_ms``     — single-threaded elementwise+reduce pass over 8M
+                         float64 (memory bandwidth; numpy ufuncs never
+                         multithread, so immune to BLAS pool jitter).
+    - ``shuffle_ms``   — spark.range(2M) % 1009 groupBy count, min of 3
+                         (JVM + scheduler + shuffle machinery end-to-end).
+
+    All inputs are seeded/deterministic; total budget ~1-2 s clean."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    A = rng.standard_normal((512, 512))
+    B = rng.standard_normal((512, 512))
+    gemm = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        A @ B
+        gemm.append(time.perf_counter() - t0)
+    x = rng.standard_normal(8_000_000)
+    el = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(np.add.reduce(np.sqrt(np.abs(x) + 1.0)))
+        el.append(time.perf_counter() - t0)
+    sh = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(2_000_000).groupBy((F.col("id") % 1009).alias("k")).count().agg(
+            F.count(F.lit(1))
+        ).collect()
+        sh.append(time.perf_counter() - t0)
+    return {
+        "gemm_ms": round(min(gemm) * 1000, 2),
+        "numpy_ms": round(min(el) * 1000, 2),
+        "shuffle_ms": round(min(sh) * 1000, 2),
+    }
+
+
 def force_eval(df) -> int:
     """Force FULL evaluation of every output column: a bare count() lets
     Catalyst prune unused columns and with them entire operator subtrees
@@ -140,6 +187,10 @@ def main():
     # clean-host number; the headline) plus the median (the typical number)
     # is the same protocol bench/run_scaling.py uses for the scaling gate.
     trials = max(1, int(os.environ.get("SPARK_GRAFT_TRIALS", "3")))
+    # host-health probe BEFORE and AFTER the trials: degradation episodes on
+    # this host last minutes, so a record can start clean and finish slow —
+    # both endpoints go into the artifact (extra.host_probe)
+    probe_before = host_probe(spark)
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     flagship_rows = 0
     for _ in range(trials):
@@ -197,6 +248,7 @@ def main():
     ) / len(exact_sets)
 
     extra = {
+        "host_probe": {"before": probe_before, "after": host_probe(spark)},
         "ivf_clustered_recall_at10": round(clustered_recall, 4),
         "ivf_clustered_rows": n_clustered,
         "flagship_rows": flagship_rows,
