@@ -1147,6 +1147,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
+    # r7: cluster-vs-label scoring (VERDICT r6 #3). KMeans assignments are
+    # seed/layout-sensitive (pytest-graded, tests/test_cluster.py); the
+    # oracle-able piece is score_clusters over a FIXED deterministic
+    # assignment — here a label-correlated rule (every 3rd vector lands in
+    # its label's cluster, the rest hash by id), so lift is genuinely >1 on
+    # the diagonal and <1 off it (discriminating, not near-constant). All
+    # ratios are IEEE divisions of exact ints in a fixed order — bit-exact.
+    def cscore(spark, sf):
+        from pitfeat.ops.cluster import score_clusters
+
+        e = _t(spark, sf, "embeddings").select("vec_id", "label")
+        assigned = e.select(
+            "vec_id",
+            "label",
+            F.when(F.col("vec_id") % 3 == 0, F.col("label") % 5)
+            .otherwise(F.col("vec_id") % 5)
+            .cast("int")
+            .alias("cluster"),
+        )
+        return score_clusters(assigned)
+
+    q["cluster_score"] = cscore
+
+    # r7: per-group normalization (VERDICT r6 #4). min/max are
+    # order-insensitive aggregates, so a4g needs NO quantization; a9g's
+    # grouped mean/stddev are partial-merge floats and quantize via the
+    # floor(x*1e6+0.5)/1e6 half-up form (the a9 class fix).
+    def a4g(spark, sf):
+        from pitfeat.ops.normalize import normalize_minmax_grouped
+
+        ev = _events(spark, sf).select("event_id", "user_id", "value")
+        out = normalize_minmax_grouped(ev, ["value"], "user_id")
+        return out.select("event_id", F.col("value").alias("value_mm"))
+
+    q["a4g_minmax_grouped"] = a4g
+
+    def a9g(spark, sf):
+        from pitfeat.ops.normalize import normalize_zscore_grouped
+
+        ev = _events(spark, sf).select("event_id", "user_id", "value")
+        out = normalize_zscore_grouped(ev, ["value"], "user_id")
+        return out.select(
+            "event_id",
+            (F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+                "value_z"
+            ),
+        )
+
+    q["a9g_zscore_grouped"] = a9g
+
+    # r7: multimodal contract entry (VERDICT r6 #6) — the only §2.12 family
+    # with zero contract presence until now. Binary payloads aren't
+    # DuckDB-oracle-able, but the STUB decode is a pure function of the
+    # payload bytes, and with an ASCII text payload (documents.text is pure
+    # ASCII — max codepoint 121) every one of its 8 features is EXACT float
+    # arithmetic: byte stats over the zero-padded first 64 bytes are sums/
+    # dyadic divisions of small ints, and even the std is exact (deviations
+    # have denominator 64, squares denominator 4096 — every partial sum
+    # representable), verified bit-equal numpy-vs-DuckDB before wiring.
+    def mm(spark, sf):
+        from pitfeat.ops.multimodal import decode_features
+
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        media = d.select(
+            "doc_id",
+            F.element_at(
+                F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("kind"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+        out = decode_features(media)
+        return out.select(
+            "doc_id", F.posexplode("media_features").alias("slot", "fval")
+        )
+
+    q["mm_decode_features"] = mm
+
     return q
 
 
@@ -1741,6 +1819,90 @@ def oracle_sql() -> dict[str, str]:
         SELECT e.event_id,
                floor(((e.value - s.mu) / s.sd) * 1e6 + 0.5) / 1e6 AS value_z
         FROM events e, s
+    """
+
+    # r7: fixed-assignment cluster scoring. sum(BIGINT) is HUGEINT in DuckDB
+    # — cast the marginals back to BIGINT to match Spark's long sums; every
+    # ratio repeats the op's exact division tree (n/cluster_n, label_n/total,
+    # then their quotient), so the floats are bit-identical.
+    o["cluster_score"] = """
+        WITH a AS (
+          SELECT vec_id, label,
+                 CAST(CASE WHEN vec_id % 3 = 0 THEN label % 5
+                           ELSE vec_id % 5 END AS INT) AS cluster
+          FROM embeddings
+        ), per AS (
+          SELECT cluster, label, count(*) AS n FROM a GROUP BY 1, 2
+        ), clus AS (
+          SELECT cluster, CAST(sum(n) AS BIGINT) AS cluster_n FROM per GROUP BY 1
+        ), lab AS (
+          SELECT label, CAST(sum(n) AS BIGINT) AS label_n FROM per GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(n) AS BIGINT) AS total FROM per
+        )
+        SELECT per.cluster, per.label, per.n, clus.cluster_n, lab.label_n,
+               per.n / clus.cluster_n AS label_rate,
+               lab.label_n / tot.total AS global_rate,
+               (per.n / clus.cluster_n) / (lab.label_n / tot.total) AS lift
+        FROM per JOIN clus USING (cluster) JOIN lab USING (label) CROSS JOIN tot
+    """
+
+    # r7: per-group min-max — min/max are order-insensitive, division is the
+    # identical IEEE expression: exact, no quantization needed
+    o["a4g_minmax_grouped"] = """
+        SELECT event_id,
+               CASE WHEN mx > mn THEN (value - mn) / (mx - mn) END AS value_mm
+        FROM (SELECT event_id, value,
+                     min(value) OVER (PARTITION BY user_id) AS mn,
+                     max(value) OVER (PARTITION BY user_id) AS mx
+              FROM events) t
+    """
+
+    # r7: per-group z-score — grouped mean/stddev merge order is layout-
+    # dependent, so both sides quantize via the half-up floor form (a9 class)
+    o["a9g_zscore_grouped"] = """
+        WITH s AS (
+          SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd
+          FROM events GROUP BY user_id
+        )
+        SELECT e.event_id,
+               CASE WHEN s.sd IS NOT NULL AND NOT isnan(s.sd) AND s.sd <> 0
+                    THEN floor(((e.value - s.mu) / s.sd) * 1e6 + 0.5) / 1e6
+               END AS value_z
+        FROM events e JOIN s USING (user_id)
+    """
+
+    # r7: the multimodal stub decode replayed in SQL — documents.text is
+    # pure ASCII, so unicode(char) == payload byte; the 8 features are sums/
+    # dyadic divisions of small ints (exact float64, incl. the std: see the
+    # mm entry comment). Feature order matches _decode_stub: mean, std, min,
+    # max, byte length, stride-8 sum, frac>127, kind code (1/2/3).
+    o["mm_decode_features"] = """
+        WITH c AS (
+          SELECT doc_id,
+                 list_transform(range(1, 65), i ->
+                   CASE WHEN i <= length(text)
+                        THEN CAST(unicode(text[i]) AS DOUBLE) ELSE 0.0 END
+                 ) AS codes,
+                 CAST(length(text) AS DOUBLE) AS plen,
+                 CAST(doc_id % 3 + 1 AS DOUBLE) AS kcode
+          FROM documents
+        ), m AS (
+          SELECT doc_id, codes, plen, kcode, list_sum(codes) / 64.0 AS mu FROM c
+        ), f AS (
+          SELECT doc_id,
+                 [mu,
+                  sqrt(list_sum(list_transform(codes, x -> (x - mu) * (x - mu))) / 64.0),
+                  list_min(codes), list_max(codes), plen,
+                  codes[1] + codes[9] + codes[17] + codes[25]
+                    + codes[33] + codes[41] + codes[49] + codes[57],
+                  list_sum(list_transform(codes,
+                    x -> CASE WHEN x > 127.0 THEN 1.0 ELSE 0.0 END)) / 64.0,
+                  kcode] AS feats
+          FROM m
+        )
+        SELECT f.doc_id, CAST(t.i AS INT) AS slot, f.feats[CAST(t.i AS INT) + 1] AS fval
+        FROM f, range(8) t(i)
     """
 
     return o

@@ -15,6 +15,7 @@ See SURVEY.md for the blueprint and BASELINE.md for the performance contract.
 
 from pitfeat.config import PitfeatConfig
 from pitfeat.ops.asof import asof_join
+from pitfeat.ops.cluster import cluster_features, score_clusters
 from pitfeat.ops.dedup import (
     connected_components,
     exact_dedup,
@@ -27,7 +28,9 @@ from pitfeat.ops.normalize import (
     compute_moments,
     compute_quantiles,
     compute_quantiles_multi,
+    normalize_minmax_grouped,
     normalize_zscore,
+    normalize_zscore_grouped,
     quantile_bin,
 )
 from pitfeat.ops.similarity import cosine_topk, ivf_topk, knn_join, lsh_topk
@@ -38,6 +41,8 @@ __version__ = "0.5.0"
 
 __all__ = [
     "PitfeatConfig",
+    "cluster_features",
+    "score_clusters",
     "get_spark",
     "Pipeline",
     "asof_join",
@@ -53,7 +58,9 @@ __all__ = [
     "interval_join",
     "ewma_time",
     "compute_moments",
+    "normalize_minmax_grouped",
     "normalize_zscore",
+    "normalize_zscore_grouped",
     "compute_quantiles",
     "compute_quantiles_multi",
     "quantile_bin",

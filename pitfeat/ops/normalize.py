@@ -237,3 +237,113 @@ def quantile_bin(
         bin_expr = bin_expr + F.when(x >= F.lit(float(c)), 1).otherwise(0)
     guarded = F.when(x.isNotNull() & ~F.isnan(x), bin_expr).cast("int")
     return df.withColumn(out_col, guarded)
+
+
+# ---------------------------------------------------------------------------
+# A4/A9 grouped variants: per-group normalization (SURVEY.md §2.4 A4
+# "grouped variant"; VERDICT r6 #4)
+# ---------------------------------------------------------------------------
+
+
+def _grouped_stats_join(
+    df: DataFrame, by: list[str], aggs: list, broadcast_stats: bool
+) -> DataFrame:
+    """Shared stats-pass-and-join for the grouped normalizers. ONE shuffle —
+    the grouped agg with map-side partials (one row per (partition, group)
+    into the exchange) — and then the stats table rides back onto the input
+    as a broadcast join, so the BIG side is never shuffled. Set
+    ``broadcast_stats=False`` when the group count itself is huge (more
+    groups than fit an executor's broadcast budget); the plan falls back to
+    whatever join Catalyst/AQE picks for two co-keyed tables."""
+    stats = df.groupBy(*[F.col(c) for c in by]).agg(*aggs)
+    right = F.broadcast(stats) if broadcast_stats else stats
+    joined = df.join(right, on=by, how="left")
+    # the on=-join fronts the key columns; restore the input's column order
+    # (schema stability is part of the normalize contract)
+    stat_cols = [c for c in joined.columns if c not in df.columns]
+    return joined.select(*df.columns, *stat_cols)
+
+
+def normalize_minmax_grouped(
+    df: DataFrame,
+    cols: list[str],
+    by: str | list[str],
+    broadcast_stats: bool = True,
+) -> DataFrame:
+    """Per-group min-max scaling: x' = (x - min_g) / (max_g - min_g) with the
+    stats computed WITHIN each ``by`` group. A group that is degenerate for a
+    column (all-null, all-NaN, or max == min) yields null for that column's
+    rows — the per-group analog of the global pipeline's degenerate PRUNE
+    (you cannot drop a column for one group, so its values are nulled).
+    NaN inputs pass through as NaN (they are excluded from the stats, like
+    the global op); null inputs stay null.
+
+    Pure JVM end to end: one grouped agg + one broadcast join + codegen'd
+    arithmetic — no UDF, no window over the full table (a partitionBy window
+    would shuffle ALL rows; this shuffles one partial row per group per
+    partition). min/max are order-insensitive aggregates, so — unlike the
+    mean/stddev pair — the grouped stats are BIT-EXACT against any engine,
+    which is why the a4g contract entry needs no quantization."""
+    by = [by] if isinstance(by, str) else list(by)
+    missing = [c for c in cols + by if c not in df.columns]
+    if missing:
+        raise ValueError(f"normalize_minmax_grouped: missing column(s) {missing}")
+    overlap = set(cols) & set(by)
+    if overlap:
+        raise ValueError(
+            f"normalize_minmax_grouped: column(s) {sorted(overlap)} appear in "
+            "both cols and by"
+        )
+    aggs = []
+    for c in cols:
+        clean = F.when(~F.isnan(F.col(c)), F.col(c))
+        aggs.append(F.min(clean).alias(f"__gmn_{c}"))
+        aggs.append(F.max(clean).alias(f"__gmx_{c}"))
+    out = _grouped_stats_join(df, by, aggs, broadcast_stats)
+    for c in cols:
+        mn, mx = F.col(f"__gmn_{c}"), F.col(f"__gmx_{c}")
+        out = out.withColumn(
+            c, F.when(mx > mn, (F.col(c) - mn) / (mx - mn))
+        )
+    return out.drop(*[f"__gmn_{c}" for c in cols], *[f"__gmx_{c}" for c in cols])
+
+
+def normalize_zscore_grouped(
+    df: DataFrame,
+    cols: list[str],
+    by: str | list[str],
+    broadcast_stats: bool = True,
+) -> DataFrame:
+    """Per-group z-score: x' = (x - mean_g) / stddev_samp_g. Degenerate
+    groups (fewer than 2 observations, zero spread) yield null, matching
+    MomentStats.degenerate()'s global rule. NaN passes through; nulls stay
+    null. Same single-shuffle + broadcast-join plan as the min-max variant.
+
+    Float caveat (the a9 lesson): grouped avg/stddev are partial-merge
+    aggregates, so the last ulps of mean_g/sd_g are partition-layout
+    dependent — equality across engines needs quantization (the a9g contract
+    entry quantizes via floor(x*1e6 + 0.5)/1e6 on both sides); within one
+    Spark plan the values are deterministic for a fixed layout."""
+    by = [by] if isinstance(by, str) else list(by)
+    missing = [c for c in cols + by if c not in df.columns]
+    if missing:
+        raise ValueError(f"normalize_zscore_grouped: missing column(s) {missing}")
+    overlap = set(cols) & set(by)
+    if overlap:
+        raise ValueError(
+            f"normalize_zscore_grouped: column(s) {sorted(overlap)} appear in "
+            "both cols and by"
+        )
+    aggs = []
+    for c in cols:
+        clean = F.when(~F.isnan(F.col(c)), F.col(c))
+        aggs.append(F.avg(clean).alias(f"__gmu_{c}"))
+        aggs.append(F.stddev_samp(clean).alias(f"__gsd_{c}"))
+    out = _grouped_stats_join(df, by, aggs, broadcast_stats)
+    for c in cols:
+        mu, sd = F.col(f"__gmu_{c}"), F.col(f"__gsd_{c}")
+        out = out.withColumn(
+            c,
+            F.when(sd.isNotNull() & ~F.isnan(sd) & (sd != 0.0), (F.col(c) - mu) / sd),
+        )
+    return out.drop(*[f"__gmu_{c}" for c in cols], *[f"__gsd_{c}" for c in cols])

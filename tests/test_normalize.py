@@ -220,3 +220,128 @@ def test_quantiles_multi_one_job_parity(spark):
                                   "a double, z double"),
             ["a", "z"], probs,
         )
+
+
+def test_grouped_minmax_matches_pandas(spark):
+    """Per-group min-max vs a pandas per-group transform, incl. NaN
+    passthrough, null passthrough, and a degenerate group (constant values
+    -> null, the per-group analog of the global degenerate PRUNE)."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from pitfeat.ops.normalize import normalize_minmax_grouped
+
+    pdf = pd.DataFrame(
+        {
+            "id": range(12),
+            "g": ["a"] * 5 + ["b"] * 4 + ["c"] * 3,
+            "x": [1.0, 3.0, np.nan, None, 2.0,  # a: stats over {1,3,2}
+                  10.0, 10.0, 10.0, 10.0,       # b: degenerate (max==min)
+                  -1.0, 0.0, 1.0],              # c
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        normalize_minmax_grouped(df, ["x"], "g")
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = []
+    for _, r in pdf.iterrows():
+        grp = pdf[pdf["g"] == r["g"]]["x"]
+        clean = grp.dropna()
+        clean = clean[~np.isnan(clean)]
+        mn, mx = clean.min(), clean.max()
+        x = r["x"]
+        if x is None or (isinstance(x, float) and pd.isna(x) and x is not np.nan):
+            want.append(None)
+        elif mx == mn:
+            want.append(None)
+        elif isinstance(x, float) and np.isnan(x):
+            want.append(np.nan)
+        else:
+            want.append((x - mn) / (mx - mn))
+    w = pd.Series(want, dtype="float64")
+    gx = got["x"]
+    # group a: scaled into [0,1]; NaN stays NaN; None stays null
+    assert gx[0] == 0.0 and gx[1] == 1.0 and gx[4] == 0.5
+    assert np.isnan(gx[2])
+    assert pd.isna(gx[3])
+    # group b: every row null (degenerate)
+    assert gx[5:9].isna().all() and not np.isnan(gx[5:9]).all() is None
+    # group c
+    assert gx[9] == 0.0 and gx[10] == 0.5 and gx[11] == 1.0
+    # non-feature columns untouched, schema preserved
+    assert list(got.columns) == ["id", "g", "x"]
+
+
+def test_grouped_zscore_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    from pitfeat.ops.normalize import normalize_zscore_grouped
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "id": range(300),
+            "g": [f"g{i % 7}" for i in range(300)],
+            "x": rng.normal(10, 3, 300),
+        }
+    )
+    # g6 made degenerate: constant
+    pdf.loc[pdf["g"] == "g6", "x"] = 5.0
+    # one singleton group
+    pdf.loc[299, "g"] = "solo"
+    df = spark.createDataFrame(pdf)
+    got = (
+        normalize_zscore_grouped(df, ["x"], "g")
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    for g, grp in pdf.groupby("g"):
+        sub = got[pdf["g"].to_numpy() == g]["x"]
+        if g in ("g6", "solo"):
+            assert sub.isna().all(), g
+        else:
+            mu, sd = grp["x"].mean(), grp["x"].std(ddof=1)
+            w = (grp["x"] - mu) / sd
+            np.testing.assert_allclose(
+                sub.to_numpy(), w.to_numpy(), rtol=1e-9, atol=1e-12
+            )
+
+
+def test_grouped_normalize_validation_and_plan(spark):
+    """Bad args fail loudly; the plan shuffles the BIG side zero times —
+    grouped stats ride back on a broadcast join (one Exchange for the stats
+    agg only), everything codegen, no UDF."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from pitfeat.ops.normalize import (
+        normalize_minmax_grouped,
+        normalize_zscore_grouped,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 5).alias("g"), (F.col("id") * 1.5).alias("x")
+    )
+    for fn in (normalize_minmax_grouped, normalize_zscore_grouped):
+        with pytest.raises(ValueError, match="missing column"):
+            fn(df, ["nope"], "g")
+        with pytest.raises(ValueError, match="both cols and by"):
+            fn(df, ["x"], ["x"])
+    plan = (
+        normalize_minmax_grouped(df, ["x"], "g")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan
+    # exactly ONE hash exchange: the grouped-stats agg; the probe side of
+    # the broadcast join must not be shuffled
+    assert plan.count("Exchange hashpartitioning") == 1, plan
