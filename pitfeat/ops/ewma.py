@@ -185,9 +185,13 @@ def ewma_time(
     and Arrow batch size. Carried state is THREE scalars per boundary key
     (weighted mean, accumulated weight, last valid event-time) — the same
     O(1) bounded-memory story as ``ewma``, with one honest caveat: a key
-    spanning B batches pays the scalar recurrence on its continuation rows
-    (still vectorized-C for every fresh run), so a pathologically hot key
-    is CPU-heavier here than in the row-hop kernel.
+    spanning B batches pays the scalar recurrence (~0.4M rows/s) on its
+    continuation rows (still vectorized-C for every fresh run), so a
+    pathologically hot key is CPU-heavier here than in the row-hop kernel.
+    Measured boundary (BASELINE.md EWMA section): at MODERATE heat — hot
+    key ~3 Arrow batches (30k rows) in a 10M-turn table — the whole op runs
+    1.08x the row-hop kernel's wall (13.8 s vs 12.8 s, same window); the
+    cost only matters at the pathological extreme (50%-hot: 1.4x, r6).
 
     Null semantics: rows with null/NaN ``col`` OR null ``ts`` are inert —
     null output, state untouched — and the next valid row decays from the
