@@ -32,7 +32,12 @@ def host_probe(spark) -> dict:
     so any future record can be judged healthy/degraded by NUMBERS IN THE
     ARTIFACT, not argument:
 
-    - ``gemm_ms``      — seeded 512x512 float64 matmul, min of 5 (CPU/BLAS).
+    - ``gemm_ms``      — seeded 512x512 float64 matmul, min of 5. CAVEAT:
+                         OpenBLAS threads this, so the reading reflects
+                         momentary core availability (measured 0.69 ms on
+                         an idle window vs 9 ms while the executor pool was
+                         busy) — read it as a CONTENTION gauge, and read
+                         numpy_ms (never threaded) as the clean CPU gauge.
     - ``numpy_ms``     — single-threaded elementwise+reduce pass over 8M
                          float64 (memory bandwidth; numpy ufuncs never
                          multithread, so immune to BLAS pool jitter).

@@ -91,3 +91,25 @@ def test_genuine_value_error_still_fails():
 def test_compare_without_dict_still_works():
     a = pd.DataFrame({"v": [1.5, 2.5]})
     assert compare(a, a.copy()) is None
+
+
+def test_contract_registry_structure():
+    """Registry invariants the driver depends on but nothing else pinned:
+    (a) every queries() entry has an oracle and vice versa; (b) the driver
+    checks exactly the FIRST 50 entries, and t4_fingerprint must close that
+    window (the round-1 driver checked 50 of 51 and silently dropped the
+    last — BASELINE.md 'Contract verification coverage'); (c) the r7
+    rotation actually took effect: the four r6-new entries sit in-cap, the
+    four displaced ones in the tail."""
+    import __spark_entry__ as E
+
+    qs = list(E.queries().keys())
+    os_ = set(E.oracle_sql().keys())
+    assert set(qs) == os_, (set(qs) ^ os_)
+    assert qs[49] == "t4_fingerprint"
+    cap = set(qs[:50])
+    for k in ("j1_merge_nearest", "w12_ewma_time", "d5_components",
+              "j4b_interval_pure"):
+        assert k in cap, f"{k} should be in-cap after the r7 rotation"
+    for k in ("j5_anti_join", "w5_cumulative", "o4_except", "f_date_funcs"):
+        assert k not in cap, f"{k} should be in the tail after the r7 rotation"
