@@ -37,7 +37,7 @@ from pitfeat.ops.similarity import cosine_topk, ivf_topk, knn_join, lsh_topk
 from pitfeat.pipeline import Pipeline
 from pitfeat.session import get_spark
 
-__version__ = "0.5.0"
+__version__ = "0.6.0"
 
 __all__ = [
     "PitfeatConfig",
