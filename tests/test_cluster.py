@@ -148,3 +148,43 @@ def test_score_clusters_single_shuffle_plan(spark):
     assert "BatchEvalPython" not in plan
     # the contingency agg's exchange + the two tiny window repartitions
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_cluster_corpus_job_end_to_end(spark, tmp_path):
+    """The spark-submit surface (jobs/cluster_corpus.py): assigned table +
+    contingency/lift table written, clusters recover the mixture (ARI >=
+    0.9 via the same fixture shape the hook test pins), and the score
+    table's diagonal is enriched (max lift per cluster lands on its true
+    component's label)."""
+    import argparse
+    import sys
+
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.cluster_corpus import run
+
+    k = 8
+    e = gen_clustered_embeddings(spark, 1600, dim=64, n_centers=k, seed=7)
+    src = str(tmp_path / "emb")
+    e.withColumn("label", (F.col("vec_id") % k).cast("int")).write.parquet(src)
+    out, scores = str(tmp_path / "assigned"), str(tmp_path / "scores")
+    res = run(
+        spark,
+        argparse.Namespace(
+            input=src, out=out, k=k, vec_col="embedding", cluster_col="cluster",
+            label_col="label", scores_out=scores, n_init=3, max_iter=50, seed=11,
+        ),
+    )
+    assert res["rows"] == 1600 and res["score_rows"] >= k
+    got = spark.read.parquet(out).select("vec_id", "cluster").toPandas()
+    ari = _ari(got["vec_id"].to_numpy() % k, got["cluster"].to_numpy())
+    assert ari >= 0.9, ari
+    sc = spark.read.parquet(scores).toPandas()
+    # every cluster's max-lift label is unique across clusters (a clean
+    # permutation cluster->component), and that lift is strong (~k with
+    # balanced labels)
+    top = sc.sort_values("lift").groupby("cluster").tail(1)
+    assert top["label"].nunique() == k
+    assert (top["lift"] > k * 0.8).all()
