@@ -1225,6 +1225,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mm_decode_features"] = mm
 
+    # r7: deterministic train/val/test split (pitfeat/ops/sampling.py). The
+    # contract uses the PORTABLE method — two MINSTD Lehmer rounds mod
+    # 2^31-1, every intermediate < 2^48, integer thresholds — so DuckDB
+    # replays the assignment bit-for-bit (the xxhash64 production method is
+    # pinned by tests/test_sampling.py instead: no xxhash64 in DuckDB).
+    def fsplit(spark, sf):
+        from pitfeat.ops.sampling import hash_split
+
+        ev = _events(spark, sf).select("event_id")
+        return hash_split(
+            ev,
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+            id_col="event_id",
+            seed=7,
+            method="portable",
+        )
+
+    q["f_hash_split"] = fsplit
+
     return q
 
 
@@ -1903,6 +1922,24 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT f.doc_id, CAST(t.i AS INT) AS slot, f.feats[CAST(t.i AS INT) + 1] AS fval
         FROM f, range(8) t(i)
+    """
+
+    # r7: the portable hash_split replayed exactly — two Lehmer rounds mod
+    # the Mersenne prime, integer thresholds floor(0.8 * M) = 1717986917 and
+    # floor(0.9 * M) = 1932735282 (the op computes the identical ints from
+    # the same float cums; event_id >= 0 so % == pmod throughout)
+    o["f_hash_split"] = """
+        WITH h AS (
+          SELECT event_id,
+                 ((((event_id + 7) % 2147483647) * 48271 % 2147483647)
+                   * 69621 % 2147483647) AS x
+          FROM events
+        )
+        SELECT event_id,
+               CASE WHEN x < 1717986917 THEN 'train'
+                    WHEN x < 1932735282 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM h
     """
 
     return o

@@ -24,6 +24,7 @@ from pitfeat.ops.dedup import (
 )
 from pitfeat.ops.ewma import ewma, ewma_time
 from pitfeat.ops.intervals import interval_join
+from pitfeat.ops.sampling import hash_split
 from pitfeat.ops.normalize import (
     compute_moments,
     compute_quantiles,
@@ -42,6 +43,7 @@ __version__ = "0.6.0"
 __all__ = [
     "PitfeatConfig",
     "cluster_features",
+    "hash_split",
     "score_clusters",
     "get_spark",
     "Pipeline",
