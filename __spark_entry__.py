@@ -1244,6 +1244,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["f_hash_split"] = fsplit
 
+    # r7: the PRODUCTION split path (method="xxhash64") gets its own oracle
+    # too — the oracle replays Spark's XxHash64-of-one-long bit-for-bit in
+    # DuckDB hugeint arithmetic (see _xxh64_long_sql_stages), so even the
+    # full-avalanche method is externally attested, not just pytest-pinned.
+    def fsplitxx(spark, sf):
+        from pitfeat.ops.sampling import hash_split
+
+        ev = _events(spark, sf).select("event_id")
+        return hash_split(
+            ev,
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+            id_col="event_id",
+            seed=7,
+            method="xxhash64",
+        )
+
+    q["f_hash_split_xx"] = fsplitxx
+
     return q
 
 
@@ -1264,6 +1282,86 @@ def _lang_score_sql(lang: str) -> str:
     return (
         f"len(list_filter(string_split_regex(lower(text), '\\s+'), "
         f"x -> x IN ({words})))"
+    )
+
+
+# --- Spark xxhash64-of-one-long, replayed exactly in DuckDB -----------------
+#
+# XXH64 of an 8-byte (long) input is a fixed short op sequence:
+#   h = seed + P5 + 8;  k1 = rotl31(v * P2) * P1;  h ^= k1;
+#   h = rotl27(h) * P1 + P4;  then the 33/29/32 xor-shift avalanche.
+# Verified bit-equal to Spark's F.xxhash64 for longs incl. both int64
+# extremes and negatives before wiring (r7). Multi-arg Spark xxhash64 folds
+# with the running hash as the NEXT SEED, so a constant first argument
+# reduces to a constant seed computable in Python (_xxh64_long_py below) —
+# the oracle then needs only ONE hash application per row.
+#
+# DuckDB mechanics: all arithmetic in HUGEINT (int128). A full 64x64-bit
+# product would overflow int128, so (a*c) mod 2^64 is done by 32-bit split:
+# ((a>>32)*c mod 2^64) << 32 + (a%2^32)*c, every intermediate < 2^97.
+# Intermediates are staged as lateral column aliases (DuckDB allows a SELECT
+# item to reference earlier aliases), keeping the SQL linear (~1.5 KB)
+# instead of exponentially nested.
+
+_M64 = "18446744073709551616"
+_XXP = (
+    11400714785074694791,  # PRIME64_1
+    14029467366897019727,  # PRIME64_2
+    1609587929392839161,   # PRIME64_3
+    9650029242287828579,   # PRIME64_4
+    2870177450012600261,   # PRIME64_5
+)
+
+
+def _xxh64_long_py(v: int, seed: int) -> int:
+    """Reference implementation (unsigned result); mirrors the SQL stages."""
+    P1, P2, P3, P4, P5 = _XXP
+    M = 1 << 64
+    v %= M
+    rotl = lambda x, r: ((x << r) | (x >> (64 - r))) % M
+    h = (seed + P5 + 8) % M
+    h ^= rotl(v * P2 % M, 31) * P1 % M
+    h = (rotl(h, 27) * P1 + P4) % M
+    h ^= h >> 33
+    h = h * P2 % M
+    h ^= h >> 29
+    h = h * P3 % M
+    return h ^ (h >> 32)
+
+
+def _xxh64_long_sql_stages(v_col: str, seed: int) -> str:
+    """SELECT-item fragment computing xxh64_long({v_col}, seed) into lateral
+    alias ``xxh`` (unsigned hugeint); ``v_col`` must already be a hugeint in
+    [0, 2^64)."""
+    P1, P2, P3, P4, P5 = _XXP
+
+    def mm(a, c, out):
+        return (
+            f"((((({a}) >> 32) * {c}) % {_M64} << 32) % {_M64}"
+            f" + ((({a}) % 4294967296) * {c})) % {_M64} AS {out}"
+        )
+
+    def rot(a, r, out):
+        return f"((({a}) << {r}) % {_M64}) + (({a}) >> {64 - r}) AS {out}"
+
+    def xs(a, s, out):
+        return f"xor(({a}), (({a}) >> {s})) AS {out}"
+
+    return ",\n      ".join(
+        [
+            mm(v_col, P2, "xm1"),
+            rot("xm1", 31, "xr1"),
+            mm("xr1", P1, "xk1"),
+            f"xor((({seed} + {P5} + 8) % {_M64})::HUGEINT, xk1) AS xh0",
+            rot("xh0", 27, "xr2"),
+            mm("xr2", P1, "xm2"),
+            f"((xm2 + {P4}) % {_M64}) AS xh1",
+            xs("xh1", 33, "xa1"),
+            mm("xa1", P2, "xa2"),
+            xs("xa2", 29, "xa3"),
+            mm("xa3", P3, "xa4"),
+            xs("xa4", 32, "xxh"),
+        ]
     )
 
 
@@ -1938,6 +2036,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id,
                CASE WHEN x < 1717986917 THEN 'train'
                     WHEN x < 1932735282 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM h
+    """
+
+    # r7: the xxhash64-method split, with the hash itself replayed in SQL.
+    # Spark computes pmod(xxhash64(7L, event_id), 1000000007); the constant
+    # first arg folds to a constant seed (running-hash-as-seed semantics),
+    # leaving one xxh64-of-long per row — generated by _xxh64_long_sql_stages.
+    # Thresholds floor(cum * 1000000007) use the same float cums as the op.
+    _xx_seed = _xxh64_long_py(7, 42)
+    _xx_m = 1_000_000_007
+    _cum = 0.8
+    _t1 = int(_cum * _xx_m)
+    _cum += 0.1
+    _t2 = int(_cum * _xx_m)
+    o["f_hash_split_xx"] = f"""
+        WITH h AS (
+          SELECT event_id,
+            CAST(((CASE WHEN xxh >= 9223372036854775808
+                        THEN xxh - {_M64} ELSE xxh END) % {_xx_m} + {_xx_m})
+                 % {_xx_m} AS BIGINT) AS x
+          FROM (
+            SELECT event_id,
+              (CASE WHEN event_id < 0
+                    THEN event_id::HUGEINT + {_M64}
+                    ELSE event_id::HUGEINT END) AS xv,
+              {_xxh64_long_sql_stages("xv", _xx_seed)}
+            FROM events
+          )
+        )
+        SELECT event_id,
+               CASE WHEN x < {_t1} THEN 'train'
+                    WHEN x < {_t2} THEN 'val'
                     ELSE 'test' END AS split
         FROM h
     """
