@@ -34,6 +34,17 @@ class PitfeatConfig:
     # --- DATABLOCK mirror (S5) ---
     rows_per_block: int = 4096
 
+    # --- JVM<->Python Arrow batch rows (r8) ---
+    # Decoupled from rows_per_block: the DATABLOCK ops re-chunk to their own
+    # block size internally (datablock.py reblock/writer), so the IPC batch
+    # size is a pure throughput knob. 4096-row batches made every
+    # mapInPandas/pandas_udf stream pay its per-batch pandas overhead 8x
+    # more often than needed; kernels are pinned batch-size-invariant
+    # (tests/test_ewma.py boundary tests, asof merge carry, per-row text
+    # kernels), so raising this cannot change results. 32768 x ~100B rows
+    # keeps per-batch buffers in the tens of MB — safe at 100TB scale too.
+    arrow_batch_rows: int = 32768
+
     # --- partitioning (K1/K4) ---
     shuffle_partitions: int = 32
     target_partition_bytes: int = 128 * 1024 * 1024  # maxPartitionBytes for scans

@@ -332,6 +332,14 @@ def minhash_lsh_pairs(
             f"num_hashes={bands * max(1, num_hashes // bands)}"
         )
     rows_per_band = num_hashes // bands
+    # widen narrow inputs BEFORE the signature kernel (r8): a single-row-
+    # group corpus file otherwise runs the whole fused minhash kernel on one
+    # core (measured: the sf1.0 documents table is one file / one row
+    # group). No-op when the scan is already parallel; per-row kernel, so
+    # results are partitioning-invariant.
+    from pitfeat.ops.util import widen_partitions
+
+    df = widen_partitions(df, key=id_col)
     sig = minhash_signatures(
         df, text_col, num_hashes, shingle_n, seed, as_array=True
     )
@@ -583,7 +591,9 @@ def simhash_near_pairs(
     minhash signature step): three consumers read it — both self-join sides
     and the hot-bucket sketch — and would otherwise each re-run the text
     kernel over the full corpus."""
-    s = simhash(df, text_col).select(id_col, "simhash")
+    from pitfeat.ops.util import widen_partitions
+
+    s = simhash(widen_partitions(df, key=id_col), text_col).select(id_col, "simhash")
     sig_path = _scratch_dir(df, sig_path, "pitfeat_simhash_sig_")
     s.write.mode("overwrite").parquet(sig_path)
     s = df.sparkSession.read.parquet(sig_path)

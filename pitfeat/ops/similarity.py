@@ -897,99 +897,187 @@ def ivf_topk(
 # (embedding_near_dup_pairs) don't cover.
 
 
-def _knn_rank(cands: DataFrame, k: int, id_col: str) -> DataFrame:
+def _knn_rank(cands: DataFrame, k: int, id_col: str, dedup: bool = True) -> DataFrame:
     """Global top-k per source row over bucket-kernel candidates: the same
     (cosine desc, neighbor-id asc) tie rule as _rank_topk. A pair
     co-bucketed in several LSH tables arrives once per co-bucketing, and the
     copies' GEMM cosines can differ in the last ulp (different member sets
     => different BLAS shapes), so the dedup is an aggregate — max(cosine)
     per (id, nbr) — which is deterministic, where dropDuplicates would keep
-    a shuffle-order-lucky copy. (IVF pairs arrive exactly once: a member
-    lives in one inverted list.)"""
+    a shuffle-order-lucky copy.
+
+    ``dedup=False`` (r8): the IVF and exact paths produce each (id, nbr)
+    pair EXACTLY once — an IVF member lives in one inverted list and a
+    (member, prober) pair meets in exactly one grid cell; the exact path's
+    matrix engine holds each corpus id in one partition — so the max()
+    aggregate is an identity there and its full extra shuffle + hash-agg
+    over the candidate set (~n x nprobe x k rows) is pure overhead. Only
+    the LSH path (multi-table co-bucketing) keeps it."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
+    if dedup:
+        cands = cands.groupBy(id_col, "nbr_id").agg(F.max("cosine").alias("cosine"))
     return (
-        cands.groupBy(id_col, "nbr_id")
-        .agg(F.max("cosine").alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
+        cands.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(id_col, "nbr_id", "cosine", "rank")
     )
 
 
-def _knn_score_block(V, Vn, ids, QV, QVn, qids, k: int, prober_block: int = 1024):
+def _seg_rank(rows):
+    """Rank of each element within its run of equal ``rows`` values (rows
+    must be sorted ascending). Pure segment arithmetic, no loops."""
+    import numpy as np
+
+    new_run = np.empty(len(rows), dtype=bool)
+    new_run[0] = True
+    np.not_equal(rows[1:], rows[:-1], out=new_run[1:])
+    starts = np.flatnonzero(new_run)
+    run_len = np.diff(np.append(starts, len(rows)))
+    return np.arange(len(rows)) - np.repeat(starts, run_len)
+
+
+def _topk_compact(rows, cols, vals, kk, thr):
+    """Compact candidate triples to each row's exact top-``kk`` by
+    (value desc, col asc) and tighten ``thr`` (per-row pruning threshold)
+    to the kk-th kept value for rows that have kk entries.
+
+    Dropping a boundary-TIED candidate here is safe for the final top-k
+    selection: a dropped X is preceded by kk = k+1 candidates that beat it
+    under (val desc, col asc), of which at most one is the self pair, so at
+    least k non-self candidates beat X — X can never be selected."""
+    import numpy as np
+
+    order = np.lexsort((cols, -vals, rows))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    rank = _seg_rank(rows)
+    sel = rank < kk
+    boundary = rank == kk - 1
+    thr[rows[boundary]] = vals[boundary]
+    return rows[sel], cols[sel], vals[sel]
+
+
+def _knn_score_block(V, Vn, ids, QV, QVn, qids, k: int, prober_block: int = 256):
     """Score probers (QV) against members (V), excluding self-by-id, keeping
     per-prober top-k by (cosine desc, member-id asc). Members MUST arrive
-    sorted by id: the stable argsort then yields id-asc tie order for free.
+    sorted by id: the stable lexsort then yields id-asc tie order for free.
 
-    Scoring is a chunked GEMM (``QV[block] @ V.T``). The engine's GEMM
-    batch-shape trap does NOT apply here: a group's membership AND row
-    order (id-sorted by _prep) are pure functions of the data — a bucket's
-    matrix has the same shape and layout at any partitioning, so the BLAS
-    result is deterministic run-to-run and layout-to-layout. The tradeoff
-    vs the engine's per-row reduce is last-ulp cosine differences BETWEEN
-    the bucketed and exact paths (~1e-15 relative; parity tests compare at
-    1e-9, and rank flips would need two distinct vectors within an ulp —
-    exact duplicates tie exactly when scored in the SAME group, both sides
-    of the tie seeing the same arithmetic; knn_join's grid-split cells can
-    place twins in different groups, where a one-ulp gap may decide a
-    k-boundary slot instead of the id rule — deterministic per
-    configuration, documented in the split parity test). Two measured pitfalls, don't reintroduce them: the
-    double-np.where cosine normalization allocated ~5 block-sized temps and
-    cost 4x the GEMM (hence the precomputed 1/norm factors + in-place
-    multiplies), and the axis-wise 2D np.partition for the per-prober kth
-    ran ~45x SLOWER than this per-(m,)-slice loop. Returns (qid, nbr_id,
-    cosine) row lists."""
+    r8 rewrite — cache-blocked streaming top-k. The previous shape (full
+    (block x m) score matrix, two normalization passes over it, an
+    axis-partition for the per-row kth, then a per-prober Python loop) moved
+    ~65 bytes of DRAM traffic per scored pair; at 3x10^10 pairs per sf1.0
+    knn_join call the kernel was MEMORY-BANDWIDTH bound across 32 workers
+    (measured 50 ns/pair in situ vs 26 ns isolated). This version:
+
+    - normalizes the VECTORS once per cell — O((m+nq) x dim) — instead of
+      the O(pairs) score matrix (two full passes saved);
+    - scores in (prober_block x member_chunk) GEMM tiles small enough to
+      stay cache-resident, and reads each tile once against a per-row
+      pruning threshold, so steady-state DRAM traffic is ~the GEMM write;
+    - seeds the threshold from the FIRST member chunk (one small
+      axis-partition), then keeps only candidates that could still enter
+      the row's top-kk; periodic `_topk_compact` bounds the candidate
+      buffers under tie floods and tightens the threshold;
+    - does all selection with segment arithmetic (no per-prober Python).
+
+    Selection is provably IDENTICAL to the old kernel (same candidates,
+    same (cosine desc, id asc) tie rule, same self-exclusion); cosine
+    VALUES move by last-ulps because q·v/(|q||v|) became (q/|q|)·(v/|v|)
+    and the GEMM is tiled — the same documented ulp class as the GEMM
+    batch-shape difference vs the exact engine (parity tests compare at
+    1e-9; group composition, and with it every tile shape, remains a pure
+    function of the data, so results stay deterministic run-to-run and
+    layout-to-layout). Returns (qid, nbr_id, cosine) numpy arrays."""
     import numpy as np
 
     m = len(ids)
     nq = len(qids)
     out_q, out_i, out_c = [], [], []
     kk = min(k + 1, m)  # +1: self may occupy one slot
-    VT = np.ascontiguousarray(V.T)
-    # zero-norm rows detected ONCE: the common all-nonzero case then runs a
-    # single in-place divide per block — the double-np.where formulation
-    # allocated ~5 block-sized temps and cost 4x the GEMM itself (measured)
+    # zero-norm rows detected ONCE; their normalized vectors are FORCED to
+    # exact zeros (a plain multiply could turn an inf/nan component into
+    # NaN), so their cosines come out exactly 0.0 — same observable value
+    # as the old inv-factor formulation
     zn_v = Vn == 0
     zn_q = QVn == 0
-    any_zero = bool(zn_v.any() or zn_q.any())
     inv_vn = np.empty_like(Vn)
     np.divide(1.0, Vn, out=inv_vn, where=~zn_v)
     inv_vn[zn_v] = 0.0
     inv_qn = np.empty_like(QVn)
     np.divide(1.0, QVn, out=inv_qn, where=~zn_q)
     inv_qn[zn_q] = 0.0
+    Vh = V * inv_vn[:, None]
+    if zn_v.any():
+        Vh[zn_v] = 0.0
+    Qh = QV * inv_qn[:, None]
+    if zn_q.any():
+        Qh[zn_q] = 0.0
+    VT = np.ascontiguousarray(Vh.T)
+    qarr = np.asarray(qids)
+    member_chunk = 2048  # (block x chunk) f64 tile = 4 MB at the defaults
+    # one reusable GEMM output buffer for full-size tiles: a fresh allocation
+    # per tile re-pays page faults on ~GBs of short-lived arrays per cell
+    buf = np.empty((min(prober_block, nq), member_chunk), dtype=np.float64)
     for b0 in range(0, nq, prober_block):
         b1 = min(b0 + prober_block, nq)
-        C = QV[b0:b1] @ VT
-        # cosine = S * (1/|v|) * (1/|q|); zero-norm rows/cols forced to 0.0
-        # (their inv factor is 0, so the product is exactly 0.0 — same value
-        # the where-formulation produced)
-        C *= inv_vn[None, :]
-        C *= inv_qn[b0:b1, None]
-        if any_zero:
-            # 0 * inf/nan could have leaked NaN if S had non-finites; the
-            # inv factors are finite 0.0 so plain multiply is exact — only
-            # assert the invariant cheaply in the rare zero-norm presence
-            C[np.asarray(zn_q[b0:b1]), :] = 0.0
-            C[:, zn_v] = 0.0
-        for i in range(b1 - b0):
-            c = C[i]
-            kth = np.partition(c, m - kk)[m - kk]
-            cand = np.nonzero(c >= kth)[0]  # boundary ties kept
-            cand = cand[np.argsort(-c[cand], kind="stable")]  # ties -> id asc
-            q = qids[b0 + i]
-            take = []
-            for j in cand:  # early break: a tie flood makes cand the bucket
-                if ids[j] != q:
-                    take.append(j)
-                    if len(take) == k:
-                        break
-            out_q.extend(q for _ in take)
-            out_i.extend(ids[j] for j in take)
-            out_c.extend(float(c[j]) for j in take)
-    return out_q, out_i, out_c
+        B = b1 - b0
+        Qb = Qh[b0:b1]
+        thr = np.full(B, -np.inf)
+        acc_r, acc_c, acc_v = [], [], []
+        acc_n = 0
+        cap = max(8 * B * kk, 4096)
+        for c0 in range(0, m, member_chunk):
+            c1 = min(c0 + member_chunk, m)
+            w = c1 - c0
+            if B == buf.shape[0] and w == buf.shape[1]:
+                Cc = np.matmul(Qb, VT[:, c0:c1], out=buf)
+            else:
+                Cc = Qb @ VT[:, c0:c1]
+            if c0 == 0 and w > kk:
+                # seed per-row thresholds from the first chunk: its kk-th
+                # largest is a valid pruning bound (>= kk candidates exist
+                # at/above it), and later chunks then contribute only rows
+                # that could still displace a top-kk entry
+                thr = np.partition(Cc, w - kk, axis=1)[:, w - kk]
+            rr, cc = np.nonzero(Cc >= thr[:, None])
+            acc_r.append(rr)
+            acc_c.append(cc + c0)
+            acc_v.append(Cc[rr, cc])
+            acc_n += len(rr)
+            if acc_n > cap and c1 < m:
+                r_, c_, v_ = (
+                    np.concatenate(acc_r),
+                    np.concatenate(acc_c),
+                    np.concatenate(acc_v),
+                )
+                r_, c_, v_ = _topk_compact(r_, c_, v_, kk, thr)
+                acc_r, acc_c, acc_v = [r_], [c_], [v_]
+                acc_n = len(r_)
+        rows = np.concatenate(acc_r)
+        if not len(rows):
+            continue
+        cols = np.concatenate(acc_c)
+        vals = np.concatenate(acc_v)
+        # final exact selection under the global tie rule: (cosine desc,
+        # member-id asc), self excluded, first k per prober
+        order = np.lexsort((cols, -vals, rows))
+        rows, cols, vals = rows[order], cols[order], vals[order]
+        qblk = qarr[b0:b1]
+        nonself = ids[cols] != qblk[rows]
+        rows, cols, vals = rows[nonself], cols[nonself], vals[nonself]
+        if len(rows):
+            sel = _seg_rank(rows) < k
+            out_q.append(qblk[rows[sel]])
+            out_i.append(ids[cols[sel]])
+            out_c.append(vals[sel])
+    if out_q:
+        return np.concatenate(out_q), np.concatenate(out_i), np.concatenate(out_c)
+    return (
+        np.array([], dtype=object),
+        np.array([], dtype=object),
+        np.array([], dtype=np.float64),
+    )
 
 
 def knn_join(
@@ -1005,8 +1093,8 @@ def knn_join(
     nlist: int = 16,
     nprobe: int = 4,
     centroids=None,
-    max_bucket: int = 4096,
-    max_probers: int = 16384,
+    max_bucket: int | None = None,
+    max_probers: int = 131072,
 ) -> DataFrame:
     """For EVERY corpus row, its top-k nearest neighbors by cosine —
     columns (id_col, nbr_id, cosine, rank), tie rule (cosine desc, nbr_id
@@ -1064,6 +1152,15 @@ def knn_join(
 
     if method not in ("lsh", "ivf", "exact"):
         raise ValueError(f"method must be lsh|ivf|exact, got {method!r}")
+    if max_bucket is None:
+        # method-dependent default (r8): for lsh this caps the O(m^2 x dim)
+        # per-bucket kernel (buckets DROP above it — a result-affecting
+        # recall knob, kept at 4096); for ivf it only SIZES grid cells
+        # (results identical at any cap), where 4096 split every ~8k-member
+        # list in two — doubling candidate emission and replicating the
+        # prober rows — for no memory need: a 16384 x dim=64 member block
+        # is 8 MB. Explicit callers are unaffected.
+        max_bucket = 16384 if method == "ivf" else 4096
     if dim is None:
         dim = _infer_dim(df, vec_col)
     base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
@@ -1079,7 +1176,9 @@ def knn_join(
             F.col(id_col).alias("nbr_id"),
             "cosine",
         ).withColumnRenamed("__q", id_col)
-        return _knn_rank(cands, k, id_col)
+        # each corpus id lives in one partition of the matrix engine's pass,
+        # so (query, id) candidates are already unique — no dedup aggregate
+        return _knn_rank(cands, k, id_col, dedup=False)
 
     id_type = df.schema[id_col].dataType
     out_schema = T.StructType(
@@ -1092,7 +1191,12 @@ def knn_join(
 
     def _prep(pdf: pd.DataFrame, idc: str = id_col, vc: str = "__v"):
         pdf = pdf.sort_values(idc, kind="mergesort", ignore_index=True)
-        V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vc]])
+        # rows arrive as float64 ndarrays from Arrow (cast upstream); vstack
+        # them directly — the per-element asarray() wrapper doubled the
+        # conversion cost on 50k+-row groups for a dtype that is already right
+        V = np.vstack(pdf[vc].to_numpy())
+        if V.dtype != np.float64:
+            V = V.astype(np.float64)
         Vn = np.sqrt(np.add.reduce(V * V, axis=1))
         return pdf[idc].to_numpy(), V, Vn
 
@@ -1143,7 +1247,20 @@ def knn_join(
         oq, oi, oc = _knn_score_block(V, Vn, ids, QV, QVn, qids, k)
         return pd.DataFrame({id_col: oq, "nbr_id": oi, "cosine": oc})
 
-    splits = _ivf_grid_splits(valid, C, dim, nprobe, max_bucket, max_probers)
+    splits, n_cells = _ivf_grid_splits(valid, C, dim, nprobe, max_bucket, max_probers)
+    # Pre-partition both cogroup sides over ~4x the cell count (r8): the
+    # cogroup otherwise lands n_cells grouping keys on
+    # spark.sql.shuffle.partitions reducers — at 64 lists x 32 partitions a
+    # balls-in-bins collision gives some tasks 3-4 cells (including hot
+    # ones) and leaves others empty, a pure straggler tax. An explicit
+    # hash-repartition on the SAME grouping keys satisfies the cogroup's
+    # clustered-distribution requirement, so Spark adds NO second exchange
+    # (plan-checked); spreading keys over 4x cells makes multi-cell tasks
+    # rare while empty partitions cost ~ms. Results are unaffected — cell
+    # composition is a pure function of the grouping keys.
+    n_parts = max(
+        valid.sparkSession.sparkContext.defaultParallelism, min(4 * n_cells, 4096)
+    )
     if splits is not None:
         # blocked self-KNN over hot lists (see the method docstring): block
         # counts ship as a tiny broadcast-joined table — nlist rows, never a
@@ -1172,24 +1289,35 @@ def knn_join(
             .drop("__l", "__ms", "__ps")
         )
         cands = (
-            members.groupBy("__list", "__mb", "__pb")
-            .cogroup(probers.groupBy("__qlist", "__mb", "__pb"))
+            members.repartition(n_parts, "__list", "__mb", "__pb")
+            .groupBy("__list", "__mb", "__pb")
+            .cogroup(
+                probers.repartition(n_parts, "__qlist", "__mb", "__pb").groupBy(
+                    "__qlist", "__mb", "__pb"
+                )
+            )
             .applyInPandas(list_kernel, schema=out_schema)
         )
     else:
         cands = (
-            members.groupBy("__list")
-            .cogroup(probers.groupBy("__qlist"))
+            members.repartition(n_parts, "__list")
+            .groupBy("__list")
+            .cogroup(probers.repartition(n_parts, "__qlist").groupBy("__qlist"))
             .applyInPandas(list_kernel, schema=out_schema)
         )
-    return _knn_rank(cands, k, id_col)
+    # IVF candidates are exactly-once by construction (one inverted list per
+    # member; one grid cell per (member, prober) pair) — skip the dedup
+    # aggregate's full extra shuffle over ~n x nprobe x k candidate rows
+    return _knn_rank(cands, k, id_col, dedup=False)
 
 
 def _ivf_grid_splits(
     valid: DataFrame, C, dim: int, nprobe: int, max_bucket: int, max_probers: int
 ):
-    """Per-list grid-block counts for knn_join's IVF path, or None when no
-    list exceeds either cap (the common case — zero extra plan nodes then).
+    """Per-list grid-block counts for knn_join's IVF path, as
+    ``(splits_df_or_None, n_cells)`` — None when no list exceeds either cap
+    (the common case — zero extra plan nodes then); ``n_cells`` is the total
+    cogroup cell count (used to size the cogroup's partitioning).
 
     One extra assignment pass (posexplode of the nprobe list array; pos 0 is
     the member list — _probe_np orders nearest-first with the same
@@ -1198,7 +1326,7 @@ def _ivf_grid_splits(
     member-assignment difference between this pass and the members frame's
     own argmax call is harmless — blocks stay ~cap-bounded either way."""
     if max_bucket <= 0 and max_probers <= 0:
-        return None
+        return None, max(1, len(C))
     from math import ceil
 
     rows = (
@@ -1222,9 +1350,13 @@ def _ivf_grid_splits(
         )
         for r in rows
     ]
+    n_cells = sum(ms * ps for _, ms, ps in data) or max(1, len(C))
     if all(ms == 1 and ps == 1 for _, ms, ps in data):
-        return None
-    return valid.sparkSession.createDataFrame(data, "__l int, __ms int, __ps int")
+        return None, n_cells
+    return (
+        valid.sparkSession.createDataFrame(data, "__l int, __ms int, __ps int"),
+        n_cells,
+    )
 
 
 def _knn_join_pairjoin(

@@ -58,6 +58,14 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Composite [0,1] quality score from length, punctuation ratio, stopword
     ratio, and mean word length — the standard cheap pre-filter stack."""
+    # The stopword filter is a Catalyst higher-order function — interpreted,
+    # not codegen'd — at ~60+ us/doc, so a narrow input (single-row-group
+    # file => one scan task) serializes the whole op on one core. Widen
+    # first (no-op on already-parallel inputs; per-row expressions, so the
+    # result is partitioning-invariant).
+    from pitfeat.ops.util import widen_partitions
+
+    df = widen_partitions(df)
     length = F.length(F.col(text_col))
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     n_tok = F.greatest(F.size(toks), F.lit(1))

@@ -36,12 +36,30 @@ def get_spark(
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.shuffle.partitions": str(cfg.shuffle_partitions),
         "spark.sql.files.maxPartitionBytes": str(cfg.target_partition_bytes),
+        # floor on scan split count (r8): without it a medium single-file
+        # table scans as ceil(bytes / maxPartitionBytes) tasks — 2 tasks for
+        # a 132 MB lineitem on a 32-core session. The floor divides files
+        # into at least this many byte ranges (row-group granularity caps
+        # what that buys, but multi-row-group files parallelize fully). Tied
+        # to shuffle_partitions so it scales with the configured session
+        # width instead of hard-coding the local core count; at cluster
+        # scale inputs have >> this many splits and the floor is inert.
+        "spark.sql.files.minPartitionNum": str(cfg.shuffle_partitions),
         "spark.sql.execution.arrow.pyspark.enabled": "true",
-        "spark.sql.execution.arrow.maxRecordsPerBatch": str(cfg.rows_per_block),
+        "spark.sql.execution.arrow.maxRecordsPerBatch": str(cfg.arrow_batch_rows),
         # grouped pandas kernels should not silently reorder batches
         "spark.sql.execution.pandas.udf.buffer.size": "65536",
         "spark.ui.enabled": "false",
         "spark.driver.memory": "8g",
+        # one BLAS thread per Python worker (r8): every core already runs a
+        # worker, so OpenBLAS spawning its own threads inside each GEMM
+        # kernel (knn/IVF/LSH scoring) only oversubscribes the host. Set via
+        # executorEnv so it reaches the executor-forked Python workers on any
+        # deployment; the driver process (k-means training, query-matrix
+        # collects) is deliberately left free to use its BLAS threads.
+        "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
+        "spark.executorEnv.OMP_NUM_THREADS": "1",
+        "spark.executorEnv.MKL_NUM_THREADS": "1",
     }
     if extra_conf:
         conf.update(extra_conf)
