@@ -1034,13 +1034,28 @@ def _knn_score_block(V, Vn, ids, QV, QVn, qids, k: int, prober_block: int = 256)
                 Cc = np.matmul(Qb, VT[:, c0:c1], out=buf)
             else:
                 Cc = Qb @ VT[:, c0:c1]
-            if c0 == 0 and w > kk:
-                # seed per-row thresholds from the first chunk: its kk-th
-                # largest is a valid pruning bound (>= kk candidates exist
-                # at/above it), and later chunks then contribute only rows
-                # that could still displace a top-kk entry
-                thr = np.partition(Cc, w - kk, axis=1)[:, w - kk]
-            rr, cc = np.nonzero(Cc >= thr[:, None])
+            if c0 == 0:
+                # seed per-row thresholds from the first chunk. The kk-th
+                # largest GROUP max (64-wide groups) is a valid pruning
+                # bound — the top kk group maxes are themselves kk distinct
+                # elements, so the true kk-th element is >= the kk-th group
+                # max — and the grouped reduction costs ~1/6 of the full
+                # axis-partition it replaces at near-identical threshold
+                # quality (group maxes concentrate high quantiles). Later
+                # chunks then contribute only rows that could still
+                # displace a top-kk entry.
+                gr = 64
+                ng = w // gr
+                if ng > kk:
+                    Gm = Cc[:, : ng * gr].reshape(B, ng, gr).max(axis=2)
+                    thr = np.partition(Gm, ng - kk, axis=1)[:, ng - kk]
+                elif w > kk:
+                    thr = np.partition(Cc, w - kk, axis=1)[:, w - kk]
+            # flatnonzero over the raveled mask + divmod is ~3x cheaper
+            # than 2-D np.nonzero (measured) — the mask scan is the one
+            # unavoidable per-pair read, so it has to be the cheap form
+            flat_idx = np.flatnonzero((Cc >= thr[:, None]).ravel())
+            rr, cc = np.divmod(flat_idx, w)
             acc_r.append(rr)
             acc_c.append(cc + c0)
             acc_v.append(Cc[rr, cc])
@@ -1158,9 +1173,11 @@ def knn_join(
         # recall knob, kept at 4096); for ivf it only SIZES grid cells
         # (results identical at any cap), where 4096 split every ~8k-member
         # list in two — doubling candidate emission and replicating the
-        # prober rows — for no memory need: a 16384 x dim=64 member block
-        # is 8 MB. Explicit callers are unaffected.
-        max_bucket = 16384 if method == "ivf" else 4096
+        # prober rows — for no memory need: a 32768 x dim=64 member block
+        # is 17 MB, and splitting members is the EXPENSIVE direction (the
+        # heavy prober side replicates across member blocks and candidate
+        # emission multiplies). Explicit callers are unaffected.
+        max_bucket = 32768 if method == "ivf" else 4096
     if dim is None:
         dim = _infer_dim(df, vec_col)
     base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
@@ -1188,6 +1205,25 @@ def knn_join(
             T.StructField("cosine", T.DoubleType()),
         ]
     )
+
+    def _prep_arrow(tab, idc: str, vc: str):
+        """Arrow table -> (ids, V, Vn), id-sorted. The vector column is a
+        list<double> whose flat values buffer converts to numpy ZERO-COPY
+        and reshapes to (n, dim) — no per-row object arrays, the reason the
+        ivf cogroup runs applyInArrow instead of applyInPandas (r8: the
+        pandas group conversion of n x nprobe vector rows cost ~1/3 of the
+        whole stage). Rows are pre-validated upstream (non-null, len==dim),
+        so flatten() is exactly n*dim values in row order."""
+        ids = tab.column(idc).to_numpy(zero_copy_only=False)
+        col = tab.column(vc)
+        arr = col.combine_chunks() if col.num_chunks != 1 else col.chunk(0)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        V = np.ascontiguousarray(flat.reshape(len(ids), dim).astype(np.float64, copy=False))
+        order = np.argsort(ids, kind="stable")
+        if not np.array_equal(order, np.arange(len(ids))):
+            ids, V = ids[order], V[order]
+        Vn = np.sqrt(np.add.reduce(V * V, axis=1))
+        return ids, V, Vn
 
     def _prep(pdf: pd.DataFrame, idc: str = id_col, vc: str = "__v"):
         pdf = pdf.sort_values(idc, kind="mergesort", ignore_index=True)
@@ -1239,13 +1275,32 @@ def knn_join(
         F.col("__v").alias("__qv"),
         F.explode(_ivf_lists_udf(C, dim, nprobe)(F.col("__v"))).alias("__qlist"),
     )
-    def list_kernel(mpdf: pd.DataFrame, ppdf: pd.DataFrame) -> pd.DataFrame:
-        if len(mpdf) == 0 or len(ppdf) == 0:
-            return pd.DataFrame({id_col: [], "nbr_id": [], "cosine": []})
-        ids, V, Vn = _prep(mpdf)
-        qids, QV, QVn = _prep(ppdf, "__qid", "__qv")
+    import pyarrow as pa
+
+    def list_kernel(mtab: "pa.Table", ptab: "pa.Table") -> "pa.Table":
+        it = (
+            mtab.schema.field(id_col).type
+            if mtab.num_rows
+            else ptab.schema.field("__qid").type
+        )
+        if mtab.num_rows == 0 or ptab.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=it),
+                    "nbr_id": pa.array([], type=it),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
+        ids, V, Vn = _prep_arrow(mtab, id_col, "__v")
+        qids, QV, QVn = _prep_arrow(ptab, "__qid", "__qv")
         oq, oi, oc = _knn_score_block(V, Vn, ids, QV, QVn, qids, k)
-        return pd.DataFrame({id_col: oq, "nbr_id": oi, "cosine": oc})
+        return pa.table(
+            {
+                id_col: pa.array(oq, type=it),
+                "nbr_id": pa.array(oi, type=it),
+                "cosine": pa.array(np.asarray(oc, dtype=np.float64), type=pa.float64()),
+            }
+        )
 
     splits, n_cells = _ivf_grid_splits(valid, C, dim, nprobe, max_bucket, max_probers)
     # Pre-partition both cogroup sides over ~4x the cell count (r8): the
@@ -1296,14 +1351,14 @@ def knn_join(
                     "__qlist", "__mb", "__pb"
                 )
             )
-            .applyInPandas(list_kernel, schema=out_schema)
+            .applyInArrow(list_kernel, schema=out_schema)
         )
     else:
         cands = (
             members.repartition(n_parts, "__list")
             .groupBy("__list")
             .cogroup(probers.repartition(n_parts, "__qlist").groupBy("__qlist"))
-            .applyInPandas(list_kernel, schema=out_schema)
+            .applyInArrow(list_kernel, schema=out_schema)
         )
     # IVF candidates are exactly-once by construction (one inverted list per
     # member; one grid cell per (member, prober) pair) — skip the dedup
@@ -1329,8 +1384,19 @@ def _ivf_grid_splits(
         return None, max(1, len(C))
     from math import ceil
 
+    # r8: counts only SIZE blocks, so a deterministic 1/16 id-hash sample
+    # (x16 scale-up, 25% sizing headroom) replaces the full-corpus
+    # assignment pass — at scale this was a whole extra UDF scan per call
+    # for numbers that tolerate a few percent of error. Sampling error at
+    # the caps (>= 1k sampled rows per near-cap list) is ~3%, far inside
+    # the headroom; blocks stay ~cap-bounded either way. The sample is a
+    # pure function of the ids, so sizing (and with it every GEMM tile
+    # shape) remains deterministic run-to-run.
+    rate = 16
+    id_col_name = [c for c in valid.columns if c != "__v"][0]
     rows = (
-        valid.select(
+        valid.where(F.pmod(F.xxhash64(F.lit(11), F.col(id_col_name)), F.lit(rate)) == 0)
+        .select(
             F.posexplode(_ivf_lists_udf(C, dim, nprobe)(F.col("__v"))).alias(
                 "__pos", "__l"
             )
@@ -1342,13 +1408,17 @@ def _ivf_grid_splits(
         )
         .collect()
     )
+    est = {int(r["__l"]): (int(r["__mc"]) * rate, int(r["__pc"]) * rate) for r in rows}
+    # EVERY list id gets a row (missing/under-sampled lists default to 1x1):
+    # the split join is inner on __l, so a list absent from this table would
+    # silently drop its members
     data = [
         (
-            int(r["__l"]),
-            max(1, ceil(int(r["__mc"]) / max_bucket)) if max_bucket > 0 else 1,
-            max(1, ceil(int(r["__pc"]) / max_probers)) if max_probers > 0 else 1,
+            l,
+            max(1, ceil(1.25 * est.get(l, (0, 0))[0] / max_bucket)) if max_bucket > 0 else 1,
+            max(1, ceil(1.25 * est.get(l, (0, 0))[1] / max_probers)) if max_probers > 0 else 1,
         )
-        for r in rows
+        for l in range(len(C))
     ]
     n_cells = sum(ms * ps for _, ms, ps in data) or max(1, len(C))
     if all(ms == 1 and ps == 1 for _, ms, ps in data):
