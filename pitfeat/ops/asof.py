@@ -24,8 +24,10 @@ Three physical strategies, all vectorized (no per-row Python anywhere):
     the right side xB and splits the left by hash salt, bounding group size.
 
 ``merge``
-    The literal "range-partitioned, sort-within-partition as-of merge": both
-    sides are tagged and unioned, ``repartitionByRange(key)`` +
+    The "partitioned, sort-within-partition as-of merge": both sides are
+    tagged and unioned, ``repartition(key)`` (hash key co-location; r8 —
+    range partitioning's boundary-sampling job re-executed the whole
+    upstream once per staging for split points the kernel never needs) +
     ``sortWithinPartitions(key, ts, tag)``, then a streaming ``mapInPandas``
     forward-fills snapshot values down the sorted stream (pandas groupby-ffill,
     Cython-vectorized) carrying state across Arrow batches. The sorted stream
@@ -711,7 +713,15 @@ def _asof_merge(
     ts_sort = (
         F.col("__t").asc() if direction == "backward" else F.col("__t").desc_nulls_first()
     )
-    staged = unioned.repartitionByRange(F.col(on)).sortWithinPartitions(
+    # HASH repartition, not repartitionByRange (r8): the kernel needs only
+    # key co-location (contiguity comes from the in-partition sort), and
+    # range partitioning's boundary-sampling pass RE-EXECUTES the whole
+    # upstream plan — here the union + snapshot aggregation, and in the
+    # nearest composition the entire backward pass including its Python
+    # stream — once per staging just to pick split points. Hash co-locates
+    # identically with zero sampling; output is unchanged (the kernel's
+    # order comes from the sort, not the partitioner).
+    staged = unioned.repartition(F.col(on)).sortWithinPartitions(
         F.col(on).asc(), ts_sort, F.col("__tag").asc(), *[F.col(c).asc() for c in ord_cols]
     )
 

@@ -296,7 +296,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     max_bucket: int = 2000,
     sig_path: str | None = None,
-    small_corpus_rows: int = 50_000,
+    small_corpus_rows: int = 262_144,
     small_corpus_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
@@ -317,7 +317,10 @@ def minhash_lsh_pairs(
     the total text bytes (exact, from a ``__tlen`` column carried in the
     written signature table — no extra pass over the corpus) to be under
     their thresholds; either alone falls back to the written-table path,
-    which handles any size."""
+    which handles any size. (r8: the row gate is 262k — the BYTE cap is
+    the real broadcast bound, and the candidate-restriction machinery it
+    avoids is ~5 extra sequential stages; a 64 MB corpus of small docs is
+    exactly the shape the broadcast path wins on.)"""
     # hard-validate the banding arithmetic (ADVICE r6): a non-divisor bands
     # silently dropped num_hashes % bands hashes from every band slice
     # (reduced candidate recall with no warning), and bands > num_hashes

@@ -10,7 +10,7 @@ small-scale SQL oracle — is numerically unusable as an engine plan:
 so a cumsum reformulation cannot survive a long conversation.
 
 Spark mapping — the same sorted-stream shape as the merge as-of strategy
-(pitfeat/ops/asof.py:651): ``repartitionByRange(key)`` makes each key's rows
+(pitfeat/ops/asof.py): ``repartition(key)`` (hash) makes each key's rows
 land in one partition, ``sortWithinPartitions(key, ts, *order_extra)`` makes
 the partition stream key-contiguous and time-ordered, and ONE ``mapInPandas``
 pass runs the recurrence per key run (pandas ``ewm(adjust=False)``,
@@ -83,7 +83,10 @@ def ewma(
     )
     out_names = [f.name for f in out_schema.fields]
 
-    staged = df.repartitionByRange(F.col(key)).sortWithinPartitions(
+    # hash repartition (r8): the kernel needs key co-location only —
+    # contiguity comes from the sort — and repartitionByRange's boundary
+    # sampling re-executed the upstream scan once per call for nothing
+    staged = df.repartition(F.col(key)).sortWithinPartitions(
         F.col(key).asc(),
         F.col(ts).asc(),
         *[F.col(c).asc() for c in order_extra],
@@ -215,7 +218,9 @@ def ewma_time(
     hl_ns = float(pd.Timedelta(seconds=halflife_s).value)
     hl_td = pd.Timedelta(seconds=halflife_s)
 
-    staged = df.repartitionByRange(F.col(key)).sortWithinPartitions(
+    # hash repartition: same key co-location, no range-sampling pass (see
+    # the row-hop kernel's staging note)
+    staged = df.repartition(F.col(key)).sortWithinPartitions(
         F.col(key).asc(),
         F.col(ts).asc(),
         *[F.col(c).asc() for c in order_extra],

@@ -137,27 +137,33 @@ def test_knn_join_plans_never_materialize_pairs(spark):
         assert "BroadcastNestedLoopJoin" not in plan
         assert "BatchEvalPython" not in plan
     assert "FlatMapGroupsInPandas" in lsh_plan
-    assert "FlatMapCoGroupsInPandas" in ivf_plan
+    # r8: the ivf cogroup kernel is Arrow-native (applyInArrow) — vectors
+    # reach numpy as one flat-buffer reshape instead of per-row objects
+    assert "FlatMapCoGroupsInArrow" in ivf_plan
 
 
 def test_ewma_plan_single_pass(spark):
-    """W11 ewma must plan ONE streaming MapInPandas pass over ONE range
-    exchange (key co-location) + in-partition sort — the merge-strategy
-    shape: no extra shuffle, no row-wise Python, no window fallback."""
+    """W11 ewma must plan ONE streaming MapInPandas pass over ONE key
+    co-locating exchange + in-partition sort — the merge-strategy shape:
+    no extra shuffle, no row-wise Python, no window fallback. (r8: the
+    exchange is HASH partitioning — co-location is all the kernel needs,
+    and range partitioning's boundary-sampling job re-executed the whole
+    upstream once per call.)"""
     from pitfeat.ops.ewma import ewma
 
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     plan = _plan(ewma(ev, "value", 0.25, key="user_id", ts="ts", order_extra=("event_id",)))
     assert plan.count("MapInPandas") == 1, plan[:800]
     assert plan.count("Exchange") == 1, plan[:800]
-    assert "rangepartitioning" in plan, plan[:800]
+    assert "hashpartitioning(user_id" in plan, plan[:800]
     assert "BatchEvalPython" not in plan
     assert "Window" not in plan
 
 
 def test_ewma_time_plan_single_pass(spark):
     """W12 ewma_time shares W11's plan shape exactly: one MapInPandas, one
-    range exchange, no row-wise Python, no window fallback."""
+    key co-locating (hash) exchange, no row-wise Python, no window
+    fallback."""
     from pitfeat.ops.ewma import ewma_time
 
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
@@ -166,6 +172,6 @@ def test_ewma_time_plan_single_pass(spark):
     )
     assert plan.count("MapInPandas") == 1, plan[:800]
     assert plan.count("Exchange") == 1, plan[:800]
-    assert "rangepartitioning" in plan, plan[:800]
+    assert "hashpartitioning(user_id" in plan, plan[:800]
     assert "BatchEvalPython" not in plan
     assert "Window" not in plan
