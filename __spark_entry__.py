@@ -92,8 +92,20 @@ def _orders_snapshots(spark, sf):
     snap_ts = F.expr(
         f"cast(timestamp_micros({_SNAP_US.format(od='o_orderdate')}) as timestamp_ntz)"
     )
+    # widen the orders scan before the aggregation (r8, plan-only — result
+    # identical): the sf1.0 orders file has two row groups, so the scan fused
+    # with the map-side partial agg (a ~1.4M-key hash map, barely reducing —
+    # almost every (custkey, day) is unique) ran as TWO tasks serializing
+    # every as-of query's snapshot build. The round-robin exchange costs one
+    # ~26 MB shuffle and buys a cores-wide partial agg; no-op when the scan
+    # already has enough splits.
+    from pitfeat.ops.util import widen_partitions
+
     return (
-        _t(spark, sf, "orders")
+        widen_partitions(
+            _t(spark, sf, "orders").select("o_custkey", "o_orderdate", "o_totalprice"),
+            key="o_custkey",
+        )
         .groupBy(F.col("o_custkey").alias("user_id"), snap_ts.alias("snap_ts"))
         .agg(F.max("o_totalprice").alias("snap_price"))
     )

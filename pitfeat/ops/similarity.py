@@ -283,7 +283,15 @@ def _matrix_topk(
             buf_ids[qi] = [np.asarray([bi[j] for j in order], dtype=bi.dtype)]
             buf_n[qi] = len(order)
 
-        for pdf in batches:
+        for full_pdf in batches:
+          # r8: process each Arrow batch in bounded row slices — the session
+          # IPC batch grew to 32k rows for the streaming kernels' sake, but
+          # THIS kernel's per-query temporaries (V * Q[j]) scale with the
+          # row count, so a 32k-row slice would blow the temp working set
+          # from 2 MB to 16 MB per query and fall out of cache. Per-row
+          # math: results are identical at any slicing.
+          for s0 in range(0, len(full_pdf), 4096):
+            pdf = full_pdf.iloc[s0 : s0 + 4096]
             n = len(pdf)
             if n == 0:
                 continue

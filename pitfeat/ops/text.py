@@ -55,23 +55,101 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _quality_counts_udf():
+    """Fused Arrow kernel: text -> struct(n_tok, n_stop, n_punct) — the three
+    INTEGER counts the quality score is built from. Exact-parity replacement
+    (r8) for the Catalyst subexpressions it displaces, which ran interpreted
+    (split + higher-order filter + regexp_replace, measured ~1.3 ms/doc):
+
+    - n_tok   == size(split(lower(text), '\\s+'))       (empties kept, like
+      Java split with limit -1; the split class is written out as Java's
+      ASCII \\s = [ \\t\\n\\x0B\\f\\r] so pandas' Unicode \\s can't diverge)
+    - n_stop  == size(filter(toks, t -> t IN markers))  (multiplicity kept)
+    - n_punct == length(regexp_replace(text, '[^!-/:-@\\\\[-`{-~]', ''))
+      (punct chars live inside tokens — whitespace is never punct — so the
+      count folds over the factorized UNIQUE tokens only; lowercasing moves
+      no character in or out of the ASCII punct ranges)
+
+    NULL text yields a NULL struct, reproducing split(NULL)/size(NULL)/
+    length(NULL) null propagation in the downstream expressions. Counting is
+    integer-exact, so every float the score computes from these is
+    bit-identical to the expression path (pinned by the parity test)."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    stop_words = np.array(
+        sorted({w for ws in _LANG_MARKERS.values() for w in ws}), dtype=object
+    )
+    punct_re = re.compile(r"[!-/:-@\[-`{-~]")
+
+    def kernel(texts):
+        n = len(texts)
+        out = pd.DataFrame(
+            {
+                "n_tok": pd.array(np.zeros(n, dtype=np.int64), dtype="Int64"),
+                "n_stop": pd.array(np.zeros(n, dtype=np.int64), dtype="Int64"),
+                "n_punct": pd.array(np.zeros(n, dtype=np.int64), dtype="Int64"),
+            }
+        )
+        mask = texts.notna().to_numpy()
+        if not mask.any():
+            out.loc[:, :] = pd.NA
+            return out
+        s = texts[mask].astype(str)
+        toks = s.str.lower().str.split(r"[ \t\n\x0b\f\r]+")
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        flat = (
+            np.concatenate(toks.to_numpy())
+            if lens.sum()
+            else np.array([], dtype=object)
+        )
+        codes, uniq = pd.factorize(flat)
+        is_stop = np.isin(uniq, stop_words)
+        pc_uniq = np.fromiter(
+            (len(punct_re.findall(t)) for t in uniq), dtype=np.int64, count=len(uniq)
+        )
+        offs = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        nz = lens > 0
+        n_stop = np.zeros(len(lens), dtype=np.int64)
+        n_punct = np.zeros(len(lens), dtype=np.int64)
+        if nz.any() and len(codes):
+            stop_per_tok = is_stop[codes].astype(np.int64)
+            punct_per_tok = pc_uniq[codes]
+            n_stop[nz] = np.add.reduceat(stop_per_tok, offs[nz])
+            n_punct[nz] = np.add.reduceat(punct_per_tok, offs[nz])
+        out.loc[mask, "n_tok"] = lens
+        out.loc[mask, "n_stop"] = n_stop
+        out.loc[mask, "n_punct"] = n_punct
+        if not mask.all():
+            out.loc[~mask, :] = pd.NA
+        return out
+
+    kernel.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+    return pandas_udf(kernel, "struct<n_tok: long, n_stop: long, n_punct: long>")
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Composite [0,1] quality score from length, punctuation ratio, stopword
     ratio, and mean word length — the standard cheap pre-filter stack."""
-    # The stopword filter is a Catalyst higher-order function — interpreted,
-    # not codegen'd — at ~60+ us/doc, so a narrow input (single-row-group
-    # file => one scan task) serializes the whole op on one core. Widen
-    # first (no-op on already-parallel inputs; per-row expressions, so the
-    # result is partitioning-invariant).
+    # Widen narrow inputs (single-row-group file => one scan task) so the
+    # kernel runs cores-wide; no-op on already-parallel inputs, per-row
+    # math, partitioning-invariant results.
     from pitfeat.ops.util import widen_partitions
 
     df = widen_partitions(df)
     length = F.length(F.col(text_col))
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    n_tok = F.greatest(F.size(toks), F.lit(1))
-    stop_arr = F.array(*[F.lit(w) for ws in _LANG_MARKERS.values() for w in ws])
-    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / n_tok
-    punct_ratio = F.length(F.regexp_replace(F.col(text_col), r"[^!-/:-@\\\[-`{-~]", "")) / F.greatest(length, F.lit(1))
+    # the three integer counts come from ONE fused Arrow kernel (r8 — the
+    # split/filter/regexp subexpressions ran interpreted at ~1.3 ms/doc);
+    # the score arithmetic below is unchanged, and integer-exact counts
+    # make every downstream float bit-identical to the expression path
+    cnts = _quality_counts_udf()(F.col(text_col))
+    n_tok = F.greatest(cnts["n_tok"], F.lit(1))
+    stop_ratio = cnts["n_stop"] / n_tok
+    punct_ratio = cnts["n_punct"] / F.greatest(length, F.lit(1))
     mean_wlen = length / n_tok
     len_score = F.least(length / F.lit(500.0), F.lit(1.0))
     punct_score = F.lit(1.0) - F.least(punct_ratio * 5.0, F.lit(1.0))

@@ -75,6 +75,62 @@ def test_quality_score_bounds(docs):
         assert out[c].between(0, 1).all()
 
 
+def test_quality_score_kernel_matches_expression_path(spark, docs):
+    """r8: quality_score's integer counts moved to a fused Arrow kernel; this
+    pins BIT-EXACT parity against the original pure-expression formulation
+    (the r7 implementation, replicated inline) on the corpus plus planted
+    edge shapes: null text, empty, whitespace-only, padded, punct-heavy,
+    stopword-heavy, single token."""
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [910001, 910002, 910003, 910004, 910005, 910006, 910007],
+                "text": [
+                    None,
+                    "",
+                    " \t\n ",
+                    "  The AND of    to is   ",
+                    "!!!???;;;[]{}`~^_\\|@#$%&*()-+=<>/.,:'\"",
+                    "el la de que los le les des est der die und das ist",
+                    "x",
+                ],
+            }
+        )
+    )
+    df = docs.select("doc_id", "text").unionByName(edges)
+    got = X.quality_score(df).toPandas().set_index("doc_id").sort_index()
+
+    text_col = "text"
+    length = F.length(F.col(text_col))
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    stop_arr = F.array(*[F.lit(w) for ws in X._LANG_MARKERS.values() for w in ws])
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / n_tok
+    punct_ratio = F.length(
+        F.regexp_replace(F.col(text_col), r"[^!-/:-@\\\[-`{-~]", "")
+    ) / F.greatest(length, F.lit(1))
+    mean_wlen = length / n_tok
+    len_score = F.least(length / F.lit(500.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio * 5.0, F.lit(1.0))
+    stop_score = F.least(stop_ratio * 4.0, F.lit(1.0))
+    wlen_score = F.when((mean_wlen >= 3) & (mean_wlen <= 10), 1.0).otherwise(0.3)
+    ref = (
+        df.withColumn("q_len", len_score.cast("double"))
+        .withColumn("q_punct", punct_score.cast("double"))
+        .withColumn("q_stop", stop_score.cast("double"))
+        .withColumn("q_wlen", wlen_score.cast("double"))
+        .withColumn(
+            "quality",
+            ((len_score + punct_score + stop_score + wlen_score) / 4.0).cast("double"),
+        )
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for c in ("q_len", "q_punct", "q_stop", "q_wlen", "quality"):
+        pd.testing.assert_series_equal(got[c], ref[c], check_exact=True)
+
+
 def test_fingerprint_normalization(spark):
     df = spark.createDataFrame(
         pd.DataFrame({"doc_id": [1, 2, 3], "text": ["Hello  World", "hello world ", "different"]})
