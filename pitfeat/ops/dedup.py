@@ -70,7 +70,12 @@ def _scratch_dir(df: DataFrame, path: str | None, prefix: str) -> str:
     import shutil
     import tempfile
 
-    d = tempfile.mkdtemp(prefix=prefix)
+    from pitfeat.ops.util import fast_local_base
+
+    # tmpfs-backed scratch when available (r8): these materializations are
+    # read back immediately (signature tables, flagship checkpoint), so the
+    # virtual disk's fluctuating throughput went straight into query wall
+    d = tempfile.mkdtemp(prefix=prefix, dir=fast_local_base())
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     return d
 

@@ -20,8 +20,34 @@ projections).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def fast_local_base(min_free_bytes: int = 16 << 30) -> str | None:
+    """A tmpfs-backed directory for LOCAL-mode shuffle/scratch files, or
+    None. On this class of sandbox the default /tmp sits on a virtual block
+    device whose throughput fluctuates with neighbors; /dev/shm takes
+    shuffle and checkpoint I/O off that path entirely. Gated on available
+    space so a small-RAM host silently keeps the default. Callers must
+    restrict use to local[*] masters — on a cluster, local dirs are
+    infrastructure-provided (node-local NVMe) and must not be overridden."""
+    base = "/dev/shm"
+    try:
+        st = os.statvfs(base)
+        if st.f_bavail * st.f_frsize < min_free_bytes:
+            return None
+        d = os.path.join(base, "pitfeat-fastlocal")
+        os.makedirs(d, exist_ok=True)
+        probe = os.path.join(d, ".probe")
+        with open(probe, "w"):
+            pass
+        os.remove(probe)
+        return d
+    except Exception:
+        return None
 
 
 def widen_partitions(df: DataFrame, key: str | None = None) -> DataFrame:

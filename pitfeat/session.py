@@ -50,7 +50,27 @@ def get_spark(
         # grouped pandas kernels should not silently reorder batches
         "spark.sql.execution.pandas.udf.buffer.size": "65536",
         "spark.ui.enabled": "false",
-        "spark.driver.memory": "8g",
+        # local-mode note (r8): in local[N] the "driver" JVM IS the executor
+        # — 8g of heap under 32 concurrent tasks' sort/shuffle/scan buffers
+        # meant constant old-gen pressure (GCLocker retry warnings, queries
+        # measurably slower after a shuffle-heavy neighbor). 24g sizes the
+        # single JVM to the whole session; on a real cluster the driver does
+        # no data work and this is simply generous headroom.
+        "spark.driver.memory": "24g",
+        # a many-query session compiles hundreds of whole-stage-codegen
+        # classes; the JVM's default ~240 MB reserved code cache fills and
+        # starts flushing JIT'd methods, so a query re-run after its
+        # neighbors measured 2-3x its steady state (flagship: 8.6 s min in
+        # the 19-query bench vs 2.8 s run consecutively). 1 GB keeps every
+        # plan's compiled code resident.
+        "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g",
+        # ...and the generated-CLASS cache must keep pace: at the default
+        # 100 entries a multi-query session (the 19-query bench alone
+        # produces well over 100 codegen units per round) evicts every
+        # query's classes between its own runs, forcing janino recompiles
+        # AND discarding the JIT state of the old classes — measured as
+        # every stage of a repeated query running ~1.8x its steady state.
+        "spark.sql.codegen.cache.maxEntries": "4096",
         # one BLAS thread per Python worker (r8): every core already runs a
         # worker, so OpenBLAS spawning its own threads inside each GEMM
         # kernel (knn/IVF/LSH scoring) only oversubscribes the host. Set via
@@ -61,6 +81,15 @@ def get_spark(
         "spark.executorEnv.OMP_NUM_THREADS": "1",
         "spark.executorEnv.MKL_NUM_THREADS": "1",
     }
+    if master and str(master).startswith("local"):
+        # local mode only (r8): shuffle files default to /tmp, which on this
+        # sandbox is a noisy virtual disk; a tmpfs local dir removes that
+        # I/O path. Clusters keep their infra-provided local dirs.
+        from pitfeat.ops.util import fast_local_base
+
+        fast = fast_local_base()
+        if fast:
+            conf.setdefault("spark.local.dir", fast)
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
