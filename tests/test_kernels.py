@@ -243,3 +243,106 @@ def test_lsh_kernel_null_and_ragged_rows(spark):
     assert (out.loc[out.vec_id == 1, "bucket"] == 0).all()
     assert (out.loc[out.vec_id == 2, "bucket"] == 0).all()
     assert len(out) == 9  # 3 rows x 3 tables
+
+
+def test_knn_score_block_f32_prefilter_exact_selection():
+    """r8: _knn_score_block scans tiles in float32 with a margin and
+    re-scores survivors in exact float64. This pins selection parity against
+    a brute-force oracle on random fixtures (duplicates, zero vectors,
+    self-exclusion, tiny prober blocks), an exact-tie flood, and a near-tie
+    cluster fixture engineered so f32 CANNOT distinguish neighbors — the
+    margin must carry them into the f64 re-score. Pairs are allowed to
+    differ ONLY where two distinct vectors produce cosines within 1e-12
+    (the documented summation-order ulp class)."""
+    import numpy as np
+
+    from pitfeat.ops.similarity import _knn_score_block
+
+    rng = np.random.default_rng(17)
+
+    def brute_sets(V, ids, QV, qids, k):
+        Vn = np.sqrt((V * V).sum(1))
+        QVn = np.sqrt((QV * QV).sum(1))
+        Vh = V / np.where(Vn > 0, Vn, 1.0)[:, None]
+        Qh = QV / np.where(QVn > 0, QVn, 1.0)[:, None]
+        Vh[Vn == 0] = 0.0
+        Qh[QVn == 0] = 0.0
+        C = Qh @ Vh.T
+        out = {}
+        for qi in range(len(qids)):
+            order = sorted(range(len(ids)), key=lambda j: (-C[qi, j], ids[j]))
+            picks = []
+            for j in order:
+                if ids[j] != qids[qi]:
+                    picks.append(j)
+                    if len(picks) == k:
+                        break
+            out[qi] = (picks, C[qi])
+        return out
+
+    for trial in range(25):
+        m = int(rng.integers(2, 80))
+        nq = int(rng.integers(1, 60))
+        k = int(rng.integers(1, 6))
+        V = rng.standard_normal((m, 8))
+        for _ in range(int(rng.integers(0, 5))):
+            V[rng.integers(0, m)] = V[rng.integers(0, m)]
+        if rng.random() < 0.3:
+            V[rng.integers(0, m)] = 0.0
+        ids = np.sort(rng.choice(5000, m, replace=False))
+        QV = V[rng.integers(0, m, nq)] if rng.random() < 0.5 else rng.standard_normal((nq, 8))
+        # unique prober ids (knn_join probers are distinct corpus rows; a
+        # duplicated id would make this harness merge two probers' outputs)
+        qids = rng.choice(
+            np.concatenate([ids, 90000 + np.arange(nq)]), nq, replace=False
+        )
+        Vn = np.sqrt((V * V).sum(1))
+        QVn = np.sqrt((QV * QV).sum(1))
+        got = list(zip(*_knn_score_block(V, Vn, ids, QV, QVn, qids, k, 7)))
+        oracle = brute_sets(V, ids, QV, qids, k)
+        by_q = {}
+        for q, i, c in got:
+            by_q.setdefault(q, []).append(int(i))
+        pos_of = {int(i): p for p, i in enumerate(ids)}
+        for qi in range(nq):
+            picks, crow = oracle[qi]
+            exp_ids = [int(ids[j]) for j in picks]
+            g = by_q.get(qids[qi], [])
+            if g != exp_ids:
+                # divergent pairs must be interchangeable ulp-ties
+                for a, b in zip(g, exp_ids):
+                    if a != b:
+                        assert abs(crow[pos_of[a]] - crow[pos_of[b]]) < 1e-12, (
+                            trial,
+                            qids[qi],
+                            a,
+                            b,
+                        )
+
+    # near-tie clusters: 1e-6-noise clones, f32-indistinguishable
+    base = rng.standard_normal((30, 8))
+    V = np.repeat(base, 30, axis=0) + rng.standard_normal((900, 8)) * 1e-6
+    ids = np.arange(900)
+    QV = V[:200]
+    qids = np.arange(200)
+    Vn = np.sqrt((V * V).sum(1))
+    QVn = np.sqrt((QV * QV).sum(1))
+    got = list(zip(*_knn_score_block(V, Vn, ids, QV, QVn, qids, 5, 64)))
+    oracle = brute_sets(V, ids, QV, qids, 5)
+    by_q = {}
+    for q, i, c in got:
+        by_q.setdefault(q, []).append(int(i))
+    for qi in range(200):
+        picks, crow = oracle[qi]
+        exp_ids = [int(ids[j]) for j in picks]
+        g = by_q[qids[qi]]
+        for a, b in zip(g, exp_ids):
+            if a != b:
+                assert abs(crow[a] - crow[b]) < 1e-12, (qi, a, b)
+
+    # exact-tie flood: identical vectors -> pure id-asc order
+    V = np.tile(rng.standard_normal(4), (800, 1))
+    ids = np.arange(800)
+    Vn = np.sqrt((V * V).sum(1))
+    oq, oi, oc = _knn_score_block(V, Vn, ids, V[:50], Vn[:50], np.arange(50), 3, 16)
+    assert list(oi[:3]) == [1, 2, 3] and len(oq) == 150
