@@ -1230,7 +1230,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("kind"),
             F.encode("text", "UTF-8").alias("payload"),
         )
-        out = decode_features(media)
+        # decoder="stub" EXPLICITLY (ADVICE r7): this entry's oracle replays
+        # the stub's byte-stat arithmetic, so on a host where codec libs
+        # happen to be importable the auto-probe must not flip the kind rows
+        # onto a real decode of an ASCII text payload
+        out = decode_features(media, decoder="stub")
         return out.select(
             "doc_id", F.posexplode("media_features").alias("slot", "fval")
         )

@@ -132,9 +132,22 @@ def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
     )
 
 
-def decode_features(df: DataFrame, out_width: int = 8) -> DataFrame:
+def decode_features(
+    df: DataFrame, out_width: int = 8, decoder: str = "auto"
+) -> DataFrame:
     """Extract fixed-width features from media payloads via mapInPandas
-    (vectorized over Arrow batches; one numpy stack per batch)."""
+    (vectorized over Arrow batches; one numpy stack per batch).
+
+    ``decoder``: ``auto`` (default — real decode iff codec libs were found
+    at import), ``stub`` (force the deterministic byte-stat features), or
+    ``real`` (force the codec path; raises if no codec libs). ADVICE r7:
+    callers whose downstream contract is pinned to the stub's arithmetic
+    (the mm_decode_features oracle) must pass ``stub`` explicitly instead
+    of relying on the absence of optional libraries."""
+    if decoder not in ("auto", "stub", "real"):
+        raise ValueError(f"decoder must be auto|stub|real, got {decoder!r}")
+    if decoder == "real" and not REAL_DECODE:
+        raise ValueError("decode_features(decoder='real'): no codec libs importable")
     out_schema = T.StructType(
         [f for f in df.schema.fields if f.name != "payload"]
         + [T.StructField("media_features", T.ArrayType(T.DoubleType()), True)]
@@ -145,7 +158,8 @@ def decode_features(df: DataFrame, out_width: int = 8) -> DataFrame:
     # executors must not re-probe (module import runs per worker process, so
     # per-process probing could mix real and stub features across a
     # heterogeneous cluster)
-    decode = _decode_real if REAL_DECODE else _decode_stub
+    use_real = REAL_DECODE if decoder == "auto" else (decoder == "real")
+    decode = _decode_real if use_real else _decode_stub
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -255,6 +255,12 @@ def _grouped_stats_join(
     ``broadcast_stats=False`` when the group count itself is huge (more
     groups than fit an executor's broadcast budget); the plan falls back to
     whatever join Catalyst/AQE picks for two co-keyed tables."""
+    # Null by-keys (ADVICE r7, documented limitation): the equi-join below
+    # uses SQL null semantics, so rows whose group key is NULL never match
+    # their own null-key group's stats and come back with null outputs —
+    # the same "unknown group => unknown normalization" reading the as-of
+    # join applies to null keys. Callers wanting the null bucket normalized
+    # like a real group must pre-fill the key (e.g. coalesce to a sentinel).
     stats = df.groupBy(*[F.col(c) for c in by]).agg(*aggs)
     right = F.broadcast(stats) if broadcast_stats else stats
     joined = df.join(right, on=by, how="left")

@@ -22,8 +22,15 @@ from pyspark.sql import functions as F
 
 
 # query-matrix broadcasts from prior _matrix_topk calls, unpersisted on the
-# next call (executor-memory hygiene; see the eviction comment in _matrix_topk)
+# next call (executor-memory hygiene; see the eviction comment in
+# _matrix_topk). Guarded by a lock (ADVICE r7): concurrent driver threads
+# could otherwise evict a broadcast another thread just registered — safe
+# only by accident (unpersist is non-destructive) but a surprise
+# re-broadcast cost.
+import threading as _threading
+
 _LIVE_QUERY_BCASTS: list = []
+_LIVE_QUERY_BCASTS_LOCK = _threading.Lock()
 
 
 def _dot(a, b):
@@ -253,13 +260,14 @@ def _matrix_topk(
     # (not destroy) is the safe eviction — it frees executor memory but keeps
     # the driver copy, so a still-lazy DataFrame from an earlier call that
     # gets re-evaluated later just re-torrents its matrix instead of failing.
-    while _LIVE_QUERY_BCASTS:
-        try:
-            _LIVE_QUERY_BCASTS.pop().unpersist(blocking=False)
-        except Exception:
-            pass  # already destroyed / context gone — nothing to free
-    bc = spark.sparkContext.broadcast((qids, Q, Qn))
-    _LIVE_QUERY_BCASTS.append(bc)
+    with _LIVE_QUERY_BCASTS_LOCK:
+        while _LIVE_QUERY_BCASTS:
+            try:
+                _LIVE_QUERY_BCASTS.pop().unpersist(blocking=False)
+            except Exception:
+                pass  # already destroyed / context gone — nothing to free
+        bc = spark.sparkContext.broadcast((qids, Q, Qn))
+        _LIVE_QUERY_BCASTS.append(bc)
 
     src = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
 

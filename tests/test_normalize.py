@@ -269,8 +269,16 @@ def test_grouped_minmax_matches_pandas(spark):
     assert gx[0] == 0.0 and gx[1] == 1.0 and gx[4] == 0.5
     assert np.isnan(gx[2])
     assert pd.isna(gx[3])
-    # group b: every row null (degenerate)
-    assert gx[5:9].isna().all() and not np.isnan(gx[5:9]).all() is None
+    # group b: every row null (degenerate). ADVICE r7: the old clause
+    # `not np.isnan(...).all() is None` parsed to always-True and never
+    # checked NULL-vs-NaN; assert at the Spark row level, where SQL NULL
+    # comes back as Python None while a NaN double stays a float
+    assert gx[5:9].isna().all()
+    raw = {
+        r["id"]: r["x"]
+        for r in normalize_minmax_grouped(df, ["x"], "g").collect()
+    }
+    assert all(raw[i] is None for i in range(5, 9))
     # group c
     assert gx[9] == 0.0 and gx[10] == 0.5 and gx[11] == 1.0
     # non-feature columns untouched, schema preserved
