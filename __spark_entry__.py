@@ -30,6 +30,7 @@ from pitfeat.ops import windows as W
 from pitfeat.ops.asof import asof_join
 from pitfeat.ops.ewma import ewma, ewma_time
 from pitfeat.ops.normalize import (
+    MinMaxStats,
     compute_minmax,
     compute_moments,
     compute_quantiles,
@@ -213,9 +214,27 @@ def _flagship_with_manifest(
     # project to keys + features before the cut: the checkpoint carries only
     # what the stats pass and final projection read (smaller write AND read)
     out = out.select("user_id", "event_id", "ts", *feats)
+    # r8: the min/max stats ride ALONG the checkpoint write via observe()
+    # (CollectMetrics — no exchange, no extra pass) instead of a separate
+    # agg job re-reading the checkpoint. The aggregate expressions are
+    # compute_minmax's exactly (min/max over when(~isnan), NULL-excluded),
+    # and min/max are order-insensitive, so the stats are identical.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    obs_aggs = []
+    for c in feats:
+        clean = F.when(~F.isnan(F.col(c)), F.col(c))
+        obs_aggs.append(F.min(clean).alias(f"__mn_{c}"))
+        obs_aggs.append(F.max(clean).alias(f"__mx_{c}"))
+    out = out.observe(obs, *obs_aggs)
     out.write.mode("overwrite").parquet(cut)
+    orow = obs.get
+    stats = MinMaxStats(
+        mins={c: orow[f"__mn_{c}"] for c in feats},
+        maxs={c: orow[f"__mx_{c}"] for c in feats},
+    )
     out = spark.read.parquet(cut)
-    stats = compute_minmax(out, feats)
     pruned, cols = prune_degenerate(out, stats)
     normed = normalize_minmax(pruned, stats, cols)
     res = assemble(normed, cols).select(
