@@ -996,7 +996,7 @@ def _knn_score_block(V, Vn, ids, QV, QVn, qids, k: int, prober_block: int = 256)
       pruning threshold, so steady-state DRAM traffic is ~the GEMM write;
     - seeds the threshold from the FIRST member chunk (one small
       axis-partition), then keeps only candidates that could still enter
-      the row's top-kk; periodic `_topk_compact` bounds the candidate
+      the row's top-kk; periodic `_topk_compact_margin` bounds the candidate
       buffers under tie floods and tightens the threshold;
     - does all selection with segment arithmetic (no per-prober Python).
 
