@@ -476,8 +476,29 @@ def minhash_lsh_pairs(
                 F.col("__shb.sh").alias("sh_b"),
             )
         )
+    # Verify arithmetic (r8, bit-identical rewrite): the shingle arrays are
+    # DISTINCT sets by kernel construction (_shingle_hash_udf dedups per
+    # row), so |A ∪ B| = |A| + |B| - |A ∩ B| exactly — array_union, which
+    # materializes the merged array per pair just to take its size, is
+    # replaced by integer arithmetic on the sizes. And the classic exact
+    # length prefilter from the set-similarity-join literature: J(A,B) <=
+    # min(|A|,|B|)/max(|A|,|B|) (since inter <= min and union >= max), so
+    # any pair whose size ratio is below the threshold provably fails and
+    # is dropped BEFORE the intersect — at t=0.99 this kills nearly every
+    # false band-collision candidate for free. The prefilter uses the SAME
+    # double-division-vs-threshold comparison as the final filter: min/max
+    # >= i/u in reals and round-to-nearest is monotone, so fl(min/max) >=
+    # fl(i/u) — a pair the final filter keeps can never be pre-dropped,
+    # at any threshold. Gated to threshold > 0 (at t <= 0 the original
+    # keeps union=0 pairs with jaccard 0.0, which a NaN ratio would drop).
+    la, lb = F.size("sh_a"), F.size("sh_b")
+    if threshold > 0:
+        cand = cand.where(
+            F.least(la, lb).cast("double") / F.greatest(la, lb).cast("double")
+            >= F.lit(float(threshold))
+        )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    union = (la + lb).cast("double") - inter
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
         cand.withColumn("jaccard", jac)

@@ -683,6 +683,71 @@ def test_minhash_byte_gate_forces_written_path(spark, docs, tmp_path):
     assert written == fast and len(written) > 0
 
 
+def test_minhash_verify_rewrite_parity(spark, docs):
+    """r8 verify rewrite: union via |A|+|B|-|A∩B| (arrays are distinct
+    sets by kernel construction) and the exact length prefilter
+    (min/max size ratio — a necessary condition for J >= t) must not
+    change a single pair or value. Two pins, on a corpus with exact
+    dups, size-differing near-dups, and half-length variants:
+
+    1. Threshold-restriction identity: the banded candidate set depends
+       only on (num_hashes, bands, seed), so the t=0.7 output must be
+       EXACTLY the t=0.01 output (prefilter ~vacuous there) filtered to
+       jaccard >= 0.7 — i.e. the t=0.7 prefilter dropped nothing that
+       qualifies and left every value untouched.
+    2. Ground truth: every emitted pair's jaccard equals the exact
+       python-set jaccard of the kernel's hashed shingle sets.
+    """
+    variants = docs.select("doc_id", "text").unionByName(
+        docs.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), F.col("text")
+        )
+    ).unionByName(
+        # append two tokens: high overlap, DIFFERENT shingle-set sizes —
+        # exercises the length prefilter on surviving pairs
+        docs.select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zq wq")).alias("text"),
+        )
+    ).unionByName(
+        # first ~half of the tokens: size ratio ~0.5 — pairs the
+        # prefilter must drop at t=0.7 and the plain filter at t=0.01
+        docs.select(
+            (F.col("doc_id") + 3_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ", F.slice(F.split(F.col("text"), " "), 1, 12)
+            ).alias("text"),
+        )
+    )
+    kw = dict(num_hashes=32, bands=8)
+    loose = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_lsh_pairs(variants, threshold=0.01, **kw).collect()
+    }
+    tight = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_lsh_pairs(variants, threshold=0.7, **kw).collect()
+    }
+    assert tight == {p: j for p, j in loose.items() if j >= 0.7}
+    assert any(j >= 0.7 for j in loose.values())
+    assert any(j < 0.7 for j in loose.values())
+    # the size-differing near-dup family must be represented in the
+    # surviving set (doc vs doc+' zq wq'), proving the prefilter keeps
+    # unequal-size qualifying pairs
+    assert any(b - a == 2_000_000 for (a, b) in tight)
+    # ground-truth values: exact jaccard over the kernel's shingle sets
+    sh = {
+        r.doc_id: frozenset(r.sh)
+        for r in variants.select(
+            "doc_id", D._shingle_hash_udf(3)(F.col("text")).alias("sh")
+        ).collect()
+    }
+    for (a, b), j in loose.items():
+        inter = len(sh[a] & sh[b])
+        union = len(sh[a] | sh[b])
+        assert j == (inter / union if union else 0.0), (a, b)
+
+
 def test_minhash_fastpath_id_col_collision(spark, docs):
     """ADVICE r4: an id_col literally named 'id_a' made the fast path's bare
     column references ambiguous across the broadcast join (the written path
