@@ -131,6 +131,59 @@ def test_quality_score_kernel_matches_expression_path(spark, docs):
         pd.testing.assert_series_equal(got[c], ref[c], check_exact=True)
 
 
+def test_lang_id_kernel_matches_expression_path(spark, docs):
+    """r8: lang_id's four marker-hit counts moved to a fused Arrow kernel;
+    this pins EXACT parity against the original pure-expression
+    formulation (the four interpreted HOF filters, replicated inline) on
+    the corpus plus planted edge shapes: null text, empty,
+    whitespace-only, padded, per-language marker runs, a cross-language
+    TIE (must resolve by the same first-lang-wins when-chain), and a
+    no-marker doc ('und')."""
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [920001, 920002, 920003, 920004, 920005, 920006, 920007, 920008],
+                "text": [
+                    None,
+                    "",
+                    " \t\n ",
+                    "  The AND of    to is   ",
+                    "el la de que los",
+                    "the el le der",  # 1 hit per language — 4-way tie
+                    "zzz qqq xxx",
+                    "la la la",  # es/fr shared marker, multiplicity
+                ],
+            }
+        )
+    )
+    df = docs.select("doc_id", "text").unionByName(edges)
+    got = X.lang_id(df).toPandas().set_index("doc_id").sort_index()["lang_pred"]
+
+    scores = [
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda t: F.array_contains(F.array(*[F.lit(w) for w in ws]), t),
+            )
+        ).alias(f"__s_{lg}")
+        for lg, ws in X._LANG_MARKERS.items()
+    ]
+    tmp = df.select("*", *scores)
+    langs = list(X._LANG_MARKERS)
+    best = F.greatest(*[F.col(f"__s_{lg}") for lg in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lg in langs:
+        pred = pred.when(F.col(f"__s_{lg}") == best, F.lit(lg))
+    ref = (
+        tmp.withColumn("lang_pred", pred)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()["lang_pred"]
+    )
+    pd.testing.assert_series_equal(got, ref, check_exact=True)
+    assert got[920006] == "en" and got[920007] == "und" and got[920001] is None
+
+
 def test_fingerprint_normalization(spark):
     df = spark.createDataFrame(
         pd.DataFrame({"doc_id": [1, 2, 3], "text": ["Hello  World", "hello world ", "different"]})
